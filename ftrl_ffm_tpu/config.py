@@ -1,0 +1,97 @@
+"""Configuration for ftrl_ffm_tpu.
+
+Reproduces the reference flag surface (reference: src/include/utils/cmd_option.h:29-63,
+README.md:44-80) plus TPU-native extras (batching, mesh, dtypes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # ---- reference flag surface (same names & defaults as the C++ CLI) ----
+    # reference: src/include/utils/cmd_option.h:49-63
+    model_path: str = ""
+    train_data: str = ""
+    eval_data: str = ""
+    model_type: str = "FFM"          # LR | FM | FFM
+    init_mean: float = 0.0
+    init_stddev: float = 0.02
+    w_alpha: float = 1e-4
+    w_beta: float = 1.0
+    w_l1: float = 0.1
+    w_l2: float = 5.0
+    n_threads: int = 1               # host-side parse workers (was CPU train threads)
+    n_epochs: int = 1
+    n_fields: int = 8
+    n_feats: int = 10000
+    n_factors: int = 16
+    online: bool = True              # streaming (single pass/epoch) vs in-memory shuffled
+    cmd: bool = False                # read training stream from stdin
+    file_type: str = ""              # "libsvm" | "libffm" | "" = auto-detect
+
+    # ---- TPU-native extras ----
+    batch_size: int = 4096           # samples per device step (global batch)
+    max_nnz: int = 0                 # fixed nnz padding per sample; 0 = sniff from data
+    seed: int = 42
+    # Semantics of L1 on the factor tables:
+    #   "reference": factor weight = closed_form(n, z) always.  Matches the
+    #     reference exactly, including its property that a factor row collapses
+    #     to zero on first touch (z=0 -> w=0) and never recovers
+    #     (reference: src/model/ffm.cpp:72-88 materializes w=f(n,z) *before*
+    #     the logit, so first-touch grads see w=0).
+    #   "keep_init": untouched coordinates (n == 0) keep their random init so
+    #     factors actually train (alphaFM-style).  Strictly better log-loss.
+    factor_semantics: str = "keep_init"
+    compute_dtype: str = "float32"   # logit compute dtype ("float32"|"bfloat16")
+    # mesh: data-parallel x model-parallel(row-sharded tables)
+    mesh_data: int = 1
+    mesh_model: int = 1
+    eval_auc: bool = True            # new capability vs reference (log-loss only)
+    shuffle: bool = True             # offline mode epoch shuffle
+    save_every: int = 0              # checkpoint every N steps (0 = only at end)
+    compress_level: int = 3          # zstd level for checkpoints / model export
+
+    def __post_init__(self):
+        self.model_type = self.model_type.upper()
+        if self.model_type not in ("LR", "FM", "FFM"):
+            raise ValueError(
+                f"Invalid model_type: {self.model_type}, expect `LR`, `FM` or `FFM`."
+            )
+        if self.factor_semantics not in ("reference", "keep_init"):
+            raise ValueError(f"invalid factor_semantics: {self.factor_semantics}")
+
+    # Width of one feature row in the factor table.
+    @property
+    def row_width(self) -> int:
+        if self.model_type == "LR":
+            return 0
+        if self.model_type == "FM":
+            return self.n_factors
+        return self.n_fields * self.n_factors
+
+    def validate_file_type(self) -> None:
+        # reference: src/utils/cmd_option.cpp:110-113
+        if self.model_type == "FFM" and self.file_type == "libsvm":
+            raise ValueError("FFM model requires libffm data format...")
+
+
+def detect_file_type(file_path: str) -> str:
+    """Sniff libsvm vs libffm by counting ':' in the first feature token.
+
+    reference: src/utils/cmd_option.cpp:35-59
+    """
+    with open(file_path, "r") as f:
+        line = f.readline()
+    tokens = line.split()
+    if len(tokens) < 2:
+        raise ValueError("unknown file format...")
+    colon_count = tokens[1].count(":")
+    if colon_count == 1:
+        return "libsvm"
+    if colon_count == 2:
+        return "libffm"
+    raise ValueError("unknown file format...")

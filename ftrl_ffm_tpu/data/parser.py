@@ -1,0 +1,149 @@
+"""libsvm / libffm text parsing into fixed-shape padded numpy arrays.
+
+The reference parses line-by-line with string scanning into per-sample tuple
+vectors (reference: src/data/parser.cpp:11-41 libsvm, :62-103 libffm).  A TPU
+feeds on fixed-shape tensors, so here a whole chunk of text is parsed at once,
+fully vectorized in numpy:
+
+  1. replace ':' with ' '  ->  every token is a number,
+  2. one `np.fromstring`-style pass over the whole chunk,
+  3. scatter the (field, feat, value) triples into padded [N, F] arrays with
+     arange/repeat index arithmetic — no Python-level per-token loop.
+
+An optional C++ parser (ftrl_ffm_tpu/native) accelerates step 1-2; this module
+is the always-available fallback and ground truth.
+
+Parity notes (reference behaviors preserved):
+  * labels binarized y > 0 -> 1 (src/data/parser.cpp:16, :67)
+  * zero-valued features dropped (src/data/parser.cpp:37, :99) — represented
+    here by the inert padding encoding (value 0, feat id = sentinel)
+  * out-of-range field/feat ids filtered like remove_out_range
+    (src/model/ftrl_model.cpp:36-42, src/model/ffm.cpp:30-36)
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import NamedTuple
+
+import numpy as np
+
+
+class ParsedChunk(NamedTuple):
+    fields: np.ndarray  # [N, F] int32
+    feats: np.ndarray   # [N, F] int32  (== sentinel for padding)
+    vals: np.ndarray    # [N, F] float32 (0 for padding)
+    y: np.ndarray       # [N] float32 in {0, 1}
+    nnz: np.ndarray     # [N] int32 true nnz per sample (pre-truncation)
+
+
+def _numbers(text: str) -> np.ndarray:
+    """All whitespace-separated numbers in `text`, one vectorized pass."""
+    with warnings.catch_warnings():
+        # text-mode np.fromstring is deprecated but is by far the fastest
+        # pure-numpy tokenizer; the C++ parser replaces it on the hot path.
+        warnings.simplefilter("ignore", DeprecationWarning)
+        return np.fromstring(text, dtype=np.float64, sep=" ")
+
+
+def parse_lines(
+    lines: list[str],
+    file_type: str,
+    max_nnz: int,
+    n_feats: int,
+    n_fields: int,
+) -> ParsedChunk:
+    return parse_text("\n".join(lines) + "\n", file_type, max_nnz, n_feats, n_fields)
+
+
+def parse_text(
+    text: str,
+    file_type: str,
+    max_nnz: int,
+    n_feats: int,
+    n_fields: int,
+) -> ParsedChunk:
+    """Parse a chunk of libsvm/libffm text into padded arrays.
+
+    Args:
+      text: one or more newline-separated samples.
+      file_type: "libsvm" (label feat:val ...) or "libffm"
+        (label field:feat:val ...).
+      max_nnz: pad/truncate each sample's feature list to this length.
+      n_feats / n_fields: valid id ranges; out-of-range entries are disabled
+        in place (the batched analogue of remove_out_range).
+    """
+    if file_type not in ("libsvm", "libffm"):
+        raise ValueError(f"unknown file format: {file_type}")
+    stride = 3 if file_type == "libffm" else 2
+
+    lines = text.splitlines()
+    # tokens per line: label + stride * nnz
+    colon_counts = np.array([ln.count(":") for ln in lines], dtype=np.int64)
+    keep = np.array([bool(ln.strip()) for ln in lines], dtype=bool)
+    if not keep.all():
+        lines = [ln for ln, k in zip(lines, keep) if k]
+        colon_counts = colon_counts[keep]
+        text = "\n".join(lines) + "\n"
+    n = len(lines)
+    nnz = colon_counts // (stride - 1) if stride == 3 else colon_counts
+    if stride == 3 and np.any(colon_counts % 2):
+        raise ValueError("wrong input: malformed libffm line (odd ':' count)")
+
+    flat = _numbers(text.replace(":", " "))
+    expected = int(n + (stride * nnz).sum())
+    if flat.size != expected:
+        raise ValueError(
+            f"wrong input: token count mismatch (got {flat.size}, want {expected})"
+        )
+
+    line_len = 1 + stride * nnz
+    offs = np.concatenate([[0], np.cumsum(line_len)[:-1]])  # start of each line
+
+    y = (flat[offs] > 0).astype(np.float32)  # label binarization
+
+    out_fields = np.zeros((n, max_nnz), dtype=np.int32)
+    out_feats = np.full((n, max_nnz), n_feats, dtype=np.int32)  # sentinel
+    out_vals = np.zeros((n, max_nnz), dtype=np.float32)
+
+    kept = np.minimum(nnz, max_nnz)
+    total = int(kept.sum())
+    if total:
+        row = np.repeat(np.arange(n), kept)
+        excl = np.concatenate([[0], np.cumsum(kept)[:-1]])
+        col = np.arange(total) - np.repeat(excl, kept)
+        base = np.repeat(offs + 1, kept) + stride * col
+        if stride == 3:
+            f_field = flat[base].astype(np.int32)
+            f_feat = flat[base + 1].astype(np.int32)
+            f_val = flat[base + 2].astype(np.float32)
+        else:
+            f_field = np.zeros(total, dtype=np.int32)  # dummy field 0
+            f_feat = flat[base].astype(np.int32)
+            f_val = flat[base + 1].astype(np.float32)
+
+        # remove_out_range + zero-value drop: disable entry in place.
+        bad = (f_feat < 0) | (f_feat >= n_feats) | (f_val == 0.0)
+        if stride == 3:
+            bad |= (f_field < 0) | (f_field >= n_fields)
+        f_feat = np.where(bad, n_feats, f_feat)
+        f_val = np.where(bad, np.float32(0.0), f_val)
+        f_field = np.where(bad, 0, f_field)
+
+        out_fields[row, col] = f_field
+        out_feats[row, col] = f_feat
+        out_vals[row, col] = f_val
+
+    return ParsedChunk(out_fields, out_feats, out_vals, y, nnz.astype(np.int32))
+
+
+def sniff_max_nnz(path: str, file_type: str, sample_lines: int = 2000) -> int:
+    """Max nnz over the first `sample_lines` lines (used when cfg.max_nnz==0)."""
+    stride_div = 2 if file_type == "libffm" else 1
+    best = 1
+    with open(path, "r") as f:
+        for i, ln in enumerate(f):
+            if i >= sample_lines:
+                break
+            best = max(best, ln.count(":") // stride_div)
+    return best

@@ -1,0 +1,99 @@
+"""Metrics: streaming log-loss and AUC.
+
+The reference reports only per-epoch log-loss (sum of per-thread accumulators
+/ count — src/task/ftrl_online.cpp:82-94).  AUC is a new capability: a
+streaming histogram AUC that never materializes all scores (device-friendly,
+fixed memory), plus an exact O(n log n) variant for small eval sets.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class LossAccumulator:
+    """Host-side double-precision mean of per-batch loss sums
+    (reference accumulates double loss per thread then reduces:
+    src/task/ftrl_online.cpp:82-94)."""
+
+    def __init__(self):
+        self.loss_sum = 0.0
+        self.count = 0.0
+
+    def update(self, loss_sum, count):
+        self.loss_sum += float(loss_sum)
+        self.count += float(count)
+
+    @property
+    def mean(self) -> float:
+        return self.loss_sum / self.count if self.count else float("nan")
+
+    def reset(self):
+        self.loss_sum = 0.0
+        self.count = 0.0
+
+
+class StreamingAUC:
+    """Histogram-bucketed AUC over sigmoid scores in [0, 1].
+
+    Accumulates positive/negative counts into `n_bins` buckets on device and
+    closes the AUC with the trapezoidal rank formula; error is O(1/n_bins).
+    """
+
+    def __init__(self, n_bins: int = 8192):
+        self.n_bins = n_bins
+        self.pos = np.zeros(n_bins, np.float64)
+        self.neg = np.zeros(n_bins, np.float64)
+
+    @staticmethod
+    def bucket_counts(logits: jax.Array, y: jax.Array, w: jax.Array, n_bins: int):
+        """Jit-friendly per-batch histogram (call inside the eval step)."""
+        scores = jax.nn.sigmoid(logits)
+        idx = jnp.clip((scores * n_bins).astype(jnp.int32), 0, n_bins - 1)
+        pos = jnp.zeros((n_bins,), jnp.float32).at[idx].add(y * w)
+        neg = jnp.zeros((n_bins,), jnp.float32).at[idx].add((1.0 - y) * w)
+        return pos, neg
+
+    def update(self, pos, neg):
+        self.pos += np.asarray(pos, np.float64)
+        self.neg += np.asarray(neg, np.float64)
+
+    def result(self) -> float:
+        total_pos = self.pos.sum()
+        total_neg = self.neg.sum()
+        if total_pos == 0 or total_neg == 0:
+            return float("nan")
+        # ranks: negatives below each bucket + half of ties within the bucket
+        cum_neg = np.cumsum(self.neg) - self.neg
+        auc_sum = np.sum(self.pos * (cum_neg + 0.5 * self.neg))
+        return float(auc_sum / (total_pos * total_neg))
+
+    def reset(self):
+        self.pos[:] = 0
+        self.neg[:] = 0
+
+
+def exact_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Exact AUC via rank statistic (for tests / small eval sets)."""
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels)
+    order = np.argsort(scores, kind="mergesort")
+    s, l = scores[order], labels[order]
+    ranks = np.empty_like(s)
+    i = 0
+    r = 1.0
+    n = len(s)
+    while i < n:
+        j = i
+        while j + 1 < n and s[j + 1] == s[i]:
+            j += 1
+        ranks[i : j + 1] = (r + (r + j - i)) / 2.0
+        r += j - i + 1
+        i = j + 1
+    n_pos = float(l.sum())
+    n_neg = float(n - n_pos)
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    return float((ranks[l > 0].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))

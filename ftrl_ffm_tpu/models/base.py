@@ -1,0 +1,229 @@
+"""Model base: state pytree, fixed-shape batches, shared linear/bias path.
+
+The reference's model hierarchy (FtrlModel <- LR/FM/FFM,
+src/include/model/ftrl_model.h:15-50) becomes: one `ModelState` pytree of
+FTRL accumulator tables plus stateless per-model logit/grad functions.  No
+mutexes — batching + segment-sum dedup make updates deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ftrl_ffm_tpu.config import Config
+from ftrl_ffm_tpu.ftrl import (
+    FtrlParams,
+    bias_update,
+    dedup_and_update,
+    ftrl_weights,
+)
+
+
+class Batch(NamedTuple):
+    """One fixed-shape padded mini-batch.
+
+    Padding convention: padded occurrences have value 0.0, field 0 and
+    feature id == n_feats (a drop sentinel for scatters; gathers clip).
+    Padded *samples* (batch remainder) additionally have sample_w 0.0.
+    """
+
+    fields: jax.Array  # [B, F] int32
+    feats: jax.Array   # [B, F] int32
+    vals: jax.Array    # [B, F] float32
+    y: jax.Array       # [B] float32 in {0, 1}
+    sample_w: jax.Array  # [B] float32 in {0, 1}
+
+
+class ModelState(NamedTuple):
+    """FTRL accumulators for every trainable table.
+
+    Mirrors the reference's (bias_n, bias_z), (lin_w_n, lin_w_z) and
+    (vec_w_n, vec_w_z) arrays (src/include/model/ftrl_model.h:41-48,
+    src/model/ffm.cpp:17-28).  Weights are derived, not stored.
+    `vec_init` holds the random factor init used by the "keep_init" factor
+    semantics (see Config.factor_semantics); None for LR.
+    """
+
+    bias_n: jax.Array
+    bias_z: jax.Array
+    lin_n: jax.Array   # [R]
+    lin_z: jax.Array   # [R]
+    vec_n: Optional[jax.Array]    # [R, D] or None
+    vec_z: Optional[jax.Array]    # [R, D] or None
+    vec_init: Optional[jax.Array]  # [R, D] or None
+    step: jax.Array    # int32 scalar
+
+
+class TrainOut(NamedTuple):
+    state: ModelState
+    logits: jax.Array       # [B] pre-update logits (train loss accounting,
+                            # like reference src/task/ftrl_online.cpp:70-80)
+    loss_sum: jax.Array     # scalar: sum of per-sample log-loss (masked)
+    count: jax.Array        # scalar: number of real samples
+
+
+def binary_logloss(logits: jax.Array, y: jax.Array) -> jax.Array:
+    """Numerically stable -y*log(s) - (1-y)*log(1-s) from the logit.
+
+    reference: src/include/eval/loss.h:8-12 (naive double-precision form).
+    """
+    return jax.nn.softplus(logits) - y * logits
+
+
+class Model:
+    """Shared init / step plumbing; subclasses provide the interaction math."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+        self.params = FtrlParams(cfg.w_alpha, cfg.w_beta, cfg.w_l1, cfg.w_l2)
+        self.n_feats = cfg.n_feats
+        self.row_width = cfg.row_width
+
+    # ---- state ----
+    def init(self, key: jax.Array | None = None) -> ModelState:
+        if key is None:
+            key = jax.random.PRNGKey(self.cfg.seed)
+        r = self.n_feats
+        if self.row_width:
+            vec_n = jnp.zeros((r, self.row_width), jnp.float32)
+            vec_z = jnp.zeros((r, self.row_width), jnp.float32)
+            # Gaussian init like utils::init_weights
+            # (reference: src/include/utils/utils.h:38-61).
+            vec_init = (
+                self.cfg.init_mean
+                + self.cfg.init_stddev
+                * jax.random.normal(key, (r, self.row_width), jnp.float32)
+            )
+            if self.cfg.factor_semantics == "reference":
+                vec_init = None
+        else:
+            vec_n = vec_z = vec_init = None
+        # distinct buffers per field: donating the same buffer twice in one
+        # jitted call is an error
+        return ModelState(
+            bias_n=jnp.zeros((), jnp.float32),
+            bias_z=jnp.zeros((), jnp.float32),
+            lin_n=jnp.zeros((r,), jnp.float32),
+            lin_z=jnp.zeros((r,), jnp.float32),
+            vec_n=vec_n,
+            vec_z=vec_z,
+            vec_init=vec_init,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+    # ---- gathered weights ----
+    def _gather_linear(self, state: ModelState, feats: jax.Array):
+        """w = f(n, z) on touched linear rows — the functional analogue of the
+        reference's lazy update_linear_w (src/model/ftrl_model.cpp:52-59)."""
+        ln = jnp.take(state.lin_n, feats, mode="clip")
+        lz = jnp.take(state.lin_z, feats, mode="clip")
+        return ftrl_weights(ln, lz, self.params)
+
+    def _gather_vec(self, state: ModelState, feats: jax.Array):
+        vn = jnp.take(state.vec_n, feats, axis=0, mode="clip")
+        vz = jnp.take(state.vec_z, feats, axis=0, mode="clip")
+        w = ftrl_weights(vn, vz, self.params)
+        if state.vec_init is not None:
+            untouched = jnp.logical_and(vn == 0, vz == 0)
+            w = jnp.where(
+                untouched, jnp.take(state.vec_init, feats, axis=0, mode="clip"), w
+            )
+        return w
+
+    def bias_weight(self, state: ModelState) -> jax.Array:
+        return ftrl_weights(state.bias_n, state.bias_z, self.params)
+
+    # ---- to be provided by subclasses ----
+    def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
+        """Returns (logits [B], dlogit_dv or None) with gradients w.r.t. the
+        factor tables; linear/bias grads are model-independent."""
+        raise NotImplementedError
+
+    # ---- public API ----
+    def predict_logits(self, state: ModelState, batch: Batch) -> jax.Array:
+        logits, _ = self._logits_and_grads(state, batch, train=False)
+        return logits
+
+    def predict_proba(self, state: ModelState, batch: Batch) -> jax.Array:
+        return jax.nn.sigmoid(self.predict_logits(state, batch))
+
+    def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
+        """One deterministic mini-batch FTRL step (== reference FFM::train
+        pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
+        p = self.params
+        logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
+        # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
+        gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
+
+        # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
+        g_lin = gs[:, None] * batch.vals  # [B, F]
+        ids = batch.feats.reshape(-1)
+        lin_n, lin_z = dedup_and_update(
+            state.lin_n,
+            state.lin_z,
+            ids,
+            g_lin.reshape(-1),
+            (g_lin * g_lin).reshape(-1),
+            p,
+        )
+        bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
+
+        vec_n, vec_z = state.vec_n, state.vec_z
+        if dlogit_dv is not None:
+            g_vec = gs[:, None, None] * dlogit_dv.reshape(
+                dlogit_dv.shape[0], dlogit_dv.shape[1], -1
+            )  # [B, F, D]
+            g_vec_flat = g_vec.reshape(-1, g_vec.shape[-1])
+            vec_n, vec_z = dedup_and_update(
+                state.vec_n,
+                state.vec_z,
+                ids,
+                g_vec_flat,
+                g_vec_flat * g_vec_flat,
+                p,
+                w_init=state.vec_init,
+            )
+
+        new_state = ModelState(
+            bias_n=bias_n,
+            bias_z=bias_z,
+            lin_n=lin_n,
+            lin_z=lin_z,
+            vec_n=vec_n,
+            vec_z=vec_z,
+            vec_init=state.vec_init,
+            step=state.step + 1,
+        )
+        per_loss = binary_logloss(logits, batch.y) * batch.sample_w
+        return TrainOut(
+            state=new_state,
+            logits=logits,
+            loss_sum=jnp.sum(per_loss),
+            count=jnp.sum(batch.sample_w),
+        )
+
+    def eval_step(self, state: ModelState, batch: Batch):
+        """Masked log-loss sum + count for one eval batch
+        (reference: src/eval/evaluate.cpp:23-33)."""
+        logits = self.predict_logits(state, batch)
+        per_loss = binary_logloss(logits, batch.y) * batch.sample_w
+        return jnp.sum(per_loss), jnp.sum(batch.sample_w), logits
+
+    # ---- export (reference weight-layout materialization) ----
+    def materialize_weights(self, state: ModelState):
+        """Dense (bias, lin_w[, vec_w]) in the reference's save layout
+        (reference: src/model/ffm.cpp:138-147).  Untouched rows materialize to
+        the closed form (0), or to the stored init under keep_init semantics.
+        """
+        bias = self.bias_weight(state)
+        lin_w = ftrl_weights(state.lin_n, state.lin_z, self.params)
+        vec_w = None
+        if state.vec_n is not None:
+            vec_w = ftrl_weights(state.vec_n, state.vec_z, self.params)
+            if state.vec_init is not None:
+                untouched = jnp.logical_and(state.vec_n == 0, state.vec_z == 0)
+                vec_w = jnp.where(untouched, state.vec_init, vec_w)
+        return bias, lin_w, vec_w

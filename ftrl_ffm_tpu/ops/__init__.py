@@ -1,0 +1,7 @@
+from ftrl_ffm_tpu.ops.interactions import (
+    ffm_logits_and_grads,
+    fm_logits_and_grads,
+    linear_logits,
+)
+
+__all__ = ["linear_logits", "fm_logits_and_grads", "ffm_logits_and_grads"]

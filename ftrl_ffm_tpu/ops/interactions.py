@@ -1,0 +1,119 @@
+"""Batched LR / FM / FFM logit + gradient math (pure XLA formulation).
+
+These re-express the reference's per-sample scalar loops as fixed-shape,
+batch-parallel tensor algebra so XLA can tile them onto the MXU/VPU.  A
+Pallas fused version of the FFM interaction lives in ops/ffm_pallas.py; this
+module is the always-available reference path and the numerical ground truth.
+
+Shapes:  B = batch, F = max nnz per sample (padded), C = n_fields,
+K = n_factors.  Padded entries carry value 0.0 (the reference drops
+zero-valued features at parse time anyway — src/data/parser.cpp:37,99 — so a
+zero value is exactly "not present") and field 0 / a sentinel feature id.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def linear_logits(w_lin: jax.Array, vals: jax.Array, bias: jax.Array) -> jax.Array:
+    """logit_b = bias + sum_m w[b,m] * x[b,m].
+
+    reference: src/model/ftrl_model.cpp:44-50 (compute_linear_logit).
+
+    Args:
+      w_lin: [B, F] gathered linear weights.
+      vals:  [B, F] feature values (0 for padding).
+      bias:  scalar.
+    """
+    return bias + jnp.sum(w_lin * vals, axis=-1)
+
+
+def fm_logits_and_grads(
+    v: jax.Array, vals: jax.Array, lin_logits: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """FM second-order logit (sum-of-squares trick) and per-occurrence grads.
+
+    reference: src/model/fm.cpp:40-67 (compute_fm_logit) and :80-101
+    (update_vector_nz: g = grad * (x * sum_vx - v * x^2)).
+
+    Args:
+      v:          [B, F, K] gathered factor rows.
+      vals:       [B, F] values.
+      lin_logits: [B] linear part (bias + <w, x>).
+
+    Returns:
+      logits: [B]
+      dlogit_dv: [B, F, K] — d logit / d v (multiply by per-sample dL/dlogit
+        to get the gradient).
+    """
+    vx = v * vals[..., None]  # [B, F, K]
+    sum_vx = jnp.sum(vx, axis=1)  # [B, K]
+    sum_sq = jnp.sum(vx * vx, axis=(1, 2))  # [B]
+    logits = lin_logits + 0.5 * (jnp.sum(sum_vx * sum_vx, axis=-1) - sum_sq)
+    dlogit_dv = vals[..., None] * sum_vx[:, None, :] - v * (vals * vals)[..., None]
+    return logits, dlogit_dv
+
+
+def ffm_logits_and_grads(
+    v: jax.Array,
+    fields: jax.Array,
+    vals: jax.Array,
+    lin_logits: jax.Array,
+    n_fields: int,
+    compute_grads: bool = True,
+) -> tuple[jax.Array, jax.Array | None]:
+    """FFM field-aware pairwise logit and per-occurrence grads, batched.
+
+    The reference loops over pairs m < n and dots v_i[field_j] with
+    v_j[field_i] (src/model/ffm.cpp:57-70).  Rewritten as a field-bucketed
+    contraction so the O(F^2 K) pair loop becomes two MXU matmuls:
+
+        S[b, c, d, k] = sum_{m: field_m = c} x_m * v[b, m, d, k]
+        pair_logit_b  = 0.5 * ( sum_{c,d,k} S[b,c,d,k] * S[b,d,c,k]
+                                - sum_{m,k} (x_m * v[b,m,field_m,k])^2 )
+
+    and the gradient on occurrence m's slot (c, k)
+    (reference: src/model/ffm.cpp:107-123, g = grad * v_other * x_i * x_j):
+
+        dlogit/dv[b,m,c,k] = x_m * ( S[b, c, field_m, k]
+                                     - [c == field_m] * x_m * v[b,m,c,k] )
+
+    Args:
+      v:      [B, F, C, K] gathered factor rows (full field-major rows).
+      fields: [B, F] int32 field index per occurrence (0 for padding — padding
+              is inert because its value is 0).
+      vals:   [B, F] values.
+      lin_logits: [B].
+      n_fields: C (static).
+      compute_grads: skip the gradient tensor for predict-only paths.
+
+    Returns:
+      logits: [B]
+      dlogit_dv: [B, F, C, K] or None
+    """
+    b, f, c, k = v.shape
+    assert c == n_fields
+    onehot = jax.nn.one_hot(fields, n_fields, dtype=v.dtype)  # [B, F, C]
+    xoh = onehot * vals[..., None]  # [B, F, C]
+    # S[b,c,d,k] — bucket rows by their own field, weighted by value.
+    # HIGHEST precision: FTRL parity with the f32 reference is sensitive, and
+    # these contractions are tiny next to the gather/scatter HBM traffic.
+    s = jnp.einsum("bmc,bmdk->bcdk", xoh, v, precision=jax.lax.Precision.HIGHEST)
+    # Self term: x_m^2 * |v_m[field_m]|^2.
+    v_self = jnp.take_along_axis(v, fields[:, :, None, None], axis=2)  # [B,F,1,K]
+    v_self = v_self[:, :, 0, :]  # [B, F, K]
+    self_sq = jnp.sum((v_self * vals[..., None]) ** 2, axis=(1, 2))  # [B]
+    cross = jnp.einsum("bcdk,bdck->b", s, s, precision=jax.lax.Precision.HIGHEST)
+    logits = lin_logits + 0.5 * (cross - self_sq)
+
+    if not compute_grads:
+        return logits, None
+
+    # T[b,m,c,k] = S[b, c, field_m, k]
+    s_perm = jnp.transpose(s, (0, 2, 1, 3))  # [B, D, C, K], D indexed by field_m
+    t = jnp.take_along_axis(s_perm, fields[:, :, None, None], axis=1)  # [B,F,C,K]
+    self_corr = onehot[..., None] * vals[..., None, None] * v
+    dlogit_dv = vals[..., None, None] * (t - self_corr)
+    return logits, dlogit_dv

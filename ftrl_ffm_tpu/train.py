@@ -1,0 +1,176 @@
+"""Training orchestration: online (streaming) and offline (in-memory) modes.
+
+Mirrors the reference's task layer (src/task/ftrl_online.cpp:42-67,
+src/task/ftrl_offline.cpp:44-61): per-epoch train pass with running train
+log-loss computed from the pre-update training logits, followed by an eval
+pass, both printed in the reference's format.  The concurrency runtime
+(producer/consumer threads, thread pool) is replaced by a host prefetch
+thread feeding jitted device steps.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ftrl_ffm_tpu.config import Config, detect_file_type
+from ftrl_ffm_tpu.data.loader import batch_iterator, load_file
+from ftrl_ffm_tpu.data.parser import sniff_max_nnz
+from ftrl_ffm_tpu.data.stream import StreamReader
+from ftrl_ffm_tpu.metrics import LossAccumulator, StreamingAUC
+from ftrl_ffm_tpu.models import Batch, make_model
+from ftrl_ffm_tpu.models.base import ModelState
+
+AUC_BINS = 8192
+
+
+class Trainer:
+    def __init__(self, cfg: Config, state: Optional[ModelState] = None):
+        if not cfg.file_type and cfg.train_data:
+            cfg.file_type = detect_file_type(cfg.train_data)
+        cfg.validate_file_type()
+        if cfg.max_nnz <= 0 and cfg.train_data:
+            cfg.max_nnz = sniff_max_nnz(cfg.train_data, cfg.file_type)
+        self.cfg = cfg
+        self.model = make_model(cfg)
+        self.state = state if state is not None else self.model.init()
+
+        self._train_step = jax.jit(self.model.train_step, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_with_auc)
+
+    def _eval_with_auc(self, state: ModelState, batch: Batch):
+        loss_sum, count, logits = self.model.eval_step(state, batch)
+        pos, neg = StreamingAUC.bucket_counts(
+            logits, batch.y, batch.sample_w, AUC_BINS
+        )
+        return loss_sum, count, pos, neg
+
+    # ---- batch plumbing ----
+    def _device_batch(self, arrays) -> Batch:
+        fields, feats, vals, y, sample_w = arrays
+        return Batch(
+            fields=jnp.asarray(fields),
+            feats=jnp.asarray(feats),
+            vals=jnp.asarray(vals),
+            y=jnp.asarray(y),
+            sample_w=jnp.asarray(sample_w),
+        )
+
+    def _train_batches(self, epoch_rng: np.random.Generator):
+        cfg = self.cfg
+        if cfg.online:
+            src = sys.stdin if cfg.cmd else cfg.train_data
+            reader = StreamReader(
+                src,
+                cfg.file_type,
+                cfg.batch_size,
+                cfg.max_nnz,
+                cfg.n_feats,
+                cfg.n_fields,
+            )
+            yield from reader.batches()
+        else:
+            if not hasattr(self, "_train_ds"):
+                self._train_ds = load_file(
+                    cfg.train_data,
+                    cfg.file_type,
+                    cfg.max_nnz,
+                    cfg.n_feats,
+                    cfg.n_fields,
+                    n_workers=cfg.n_threads,
+                )
+            yield from batch_iterator(
+                self._train_ds,
+                cfg.batch_size,
+                shuffle=cfg.shuffle,
+                rng=epoch_rng,
+                sentinel=cfg.n_feats,
+            )
+
+    def _eval_batches(self):
+        cfg = self.cfg
+        if cfg.online:
+            reader = StreamReader(
+                cfg.eval_data,
+                cfg.file_type,
+                cfg.batch_size,
+                cfg.max_nnz,
+                cfg.n_feats,
+                cfg.n_fields,
+            )
+            yield from reader.batches()
+        else:
+            if not hasattr(self, "_eval_ds"):
+                self._eval_ds = load_file(
+                    cfg.eval_data,
+                    cfg.file_type,
+                    cfg.max_nnz,
+                    cfg.n_feats,
+                    cfg.n_fields,
+                    n_workers=cfg.n_threads,
+                )
+            yield from batch_iterator(
+                self._eval_ds, cfg.batch_size, shuffle=False, sentinel=cfg.n_feats
+            )
+
+    # ---- epochs ----
+    def train_epoch(self, epoch_rng: Optional[np.random.Generator] = None) -> float:
+        if epoch_rng is None:
+            epoch_rng = np.random.default_rng(self.cfg.seed)
+        sums = []
+        for arrays in self._train_batches(epoch_rng):
+            out = self._train_step(self.state, self._device_batch(arrays))
+            self.state = out.state
+            sums.append((out.loss_sum, out.count))
+        acc = LossAccumulator()
+        for s, c in sums:  # reduce lazily; keeps step dispatch async
+            acc.update(s, c)
+        return acc.mean
+
+    def evaluate(self) -> tuple[float, float]:
+        acc = LossAccumulator()
+        auc = StreamingAUC(AUC_BINS)
+        results = []
+        for arrays in self._eval_batches():
+            results.append(self._eval_step(self.state, self._device_batch(arrays)))
+        for loss_sum, count, pos, neg in results:
+            acc.update(loss_sum, count)
+            auc.update(pos, neg)
+        return acc.mean, auc.result()
+
+    def train(self) -> dict:
+        """Full multi-epoch run; prints the reference's per-epoch lines
+        (reference: src/task/ftrl_online.cpp:45-67)."""
+        cfg = self.cfg
+        history = {"train_loss": [], "eval_loss": [], "eval_auc": []}
+        rng = np.random.default_rng(cfg.seed)
+        for epoch in range(1, cfg.n_epochs + 1):
+            t0 = time.perf_counter()
+            train_loss = self.train_epoch(rng)
+            jax.block_until_ready(self.state.lin_z)
+            dt = time.perf_counter() - t0
+            print(
+                f"epoch {epoch} train time: {dt:.4f}s, train loss: {train_loss:.4f}"
+            )
+            history["train_loss"].append(train_loss)
+            if cfg.eval_data:
+                t0 = time.perf_counter()
+                eval_loss, eval_auc = self.evaluate()
+                dt = time.perf_counter() - t0
+                if cfg.eval_auc:
+                    print(
+                        f"epoch {epoch} eval time: {dt:.4f}s, "
+                        f"eval loss: {eval_loss:.4f}, eval auc: {eval_auc:.4f}"
+                    )
+                else:
+                    print(
+                        f"epoch {epoch} eval time: {dt:.4f}s, eval loss: {eval_loss:.4f}"
+                    )
+                history["eval_loss"].append(eval_loss)
+                history["eval_auc"].append(eval_auc)
+        return history

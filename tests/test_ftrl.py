@@ -1,0 +1,104 @@
+"""Unit tests for the FTRL core (closed form, accumulate, dedup update)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ftrl_ffm_tpu.ftrl import (
+    FtrlParams,
+    bias_update,
+    dedup_and_update,
+    ftrl_accumulate,
+    ftrl_weights,
+)
+from tests.reference_oracle import closed_form
+
+P = FtrlParams(alpha=1e-4, beta=1.0, l1=0.1, l2=5.0)
+
+
+def test_closed_form_zero_region():
+    n = jnp.zeros(5)
+    z = jnp.array([0.0, 0.05, -0.1, 0.1, -0.09])
+    w = ftrl_weights(n, z, P)
+    assert np.allclose(np.asarray(w), 0.0)  # |z| <= l1 -> exactly 0
+
+
+def test_closed_form_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = rng.random(100).astype(np.float32) * 10
+    z = (rng.standard_normal(100) * 3).astype(np.float32)
+    ours = np.asarray(ftrl_weights(jnp.asarray(n), jnp.asarray(z), P))
+    ref = closed_form(n, z, P.alpha, P.beta, P.l1, P.l2)
+    np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_closed_form_sign():
+    # large positive z -> negative weight; symmetric for negative z
+    w_pos = float(ftrl_weights(jnp.array(1.0), jnp.array(5.0), P))
+    w_neg = float(ftrl_weights(jnp.array(1.0), jnp.array(-5.0), P))
+    assert w_pos < 0 < w_neg
+    assert w_pos == pytest.approx(-w_neg)
+
+
+def test_accumulate_formula():
+    n, z, w = jnp.array(4.0), jnp.array(2.0), jnp.array(0.5)
+    g, g2 = jnp.array(3.0), jnp.array(9.0)
+    nn, nz = ftrl_accumulate(n, z, w, g, g2, P)
+    sigma = (np.sqrt(13.0) - 2.0) / P.alpha
+    assert float(nn) == pytest.approx(13.0)
+    assert float(nz) == pytest.approx(2.0 + 3.0 - sigma * 0.5, rel=1e-6)
+
+
+def test_dedup_matches_sequential_aggregation():
+    """Duplicate ids in one batch: g and g^2 summed, one closed-form step."""
+    r = 6
+    n_tab = jnp.asarray(np.random.default_rng(1).random(r).astype(np.float32))
+    z_tab = jnp.asarray(np.random.default_rng(2).standard_normal(r).astype(np.float32))
+    ids = jnp.array([3, 1, 3, 3, 5, 1, r], dtype=jnp.int32)  # r = sentinel
+    g = jnp.array([0.1, -0.2, 0.3, 0.4, 1.0, 0.5, 99.0], dtype=jnp.float32)
+    g2 = g * g
+
+    new_n, new_z = dedup_and_update(n_tab, z_tab, ids, g, g2, P)
+
+    n_np = np.asarray(n_tab).copy()
+    z_np = np.asarray(z_tab).copy()
+    for uid in (1, 3, 5):
+        m = np.asarray(ids)[:-1] == uid
+        sg = float(np.asarray(g)[:-1][m].sum())
+        sg2 = float(np.asarray(g2)[:-1][m].sum())
+        w = closed_form(n_np[uid], z_np[uid], P.alpha, P.beta, P.l1, P.l2)
+        sigma = (np.sqrt(n_np[uid] + sg2) - np.sqrt(n_np[uid])) / P.alpha
+        z_np[uid] += sg - sigma * w
+        n_np[uid] += sg2
+
+    np.testing.assert_allclose(np.asarray(new_n), n_np, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_z), z_np, rtol=1e-5)
+
+
+def test_dedup_sentinel_dropped():
+    n_tab = jnp.zeros(4)
+    z_tab = jnp.zeros(4)
+    ids = jnp.full((8,), 4, dtype=jnp.int32)  # all padding
+    g = jnp.ones(8)
+    new_n, new_z = dedup_and_update(n_tab, z_tab, ids, g, g * g, P)
+    assert float(jnp.abs(new_n).sum()) == 0.0
+    assert float(jnp.abs(new_z).sum()) == 0.0
+
+
+def test_dedup_vector_rows():
+    r, d = 5, 3
+    n_tab = jnp.zeros((r, d))
+    z_tab = jnp.zeros((r, d))
+    ids = jnp.array([2, 2, 0], dtype=jnp.int32)
+    g = jnp.arange(9, dtype=jnp.float32).reshape(3, d)
+    new_n, new_z = dedup_and_update(n_tab, z_tab, ids, g, g * g, P)
+    np.testing.assert_allclose(np.asarray(new_n)[2], [9.0, 17.0, 29.0])  # 0+9, 1+16, 4+25
+    np.testing.assert_allclose(np.asarray(new_n)[0], [36.0, 49.0, 64.0])
+    assert np.asarray(new_n)[1].sum() == 0
+
+
+def test_bias_update():
+    g = jnp.array([0.5, -0.25, 0.0])
+    bn, bz = bias_update(jnp.array(0.0), jnp.array(0.0), g, P)
+    assert float(bn) == pytest.approx(0.3125)
+    assert float(bz) == pytest.approx(0.25)  # w=0 -> z += sum_g

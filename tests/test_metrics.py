@@ -1,0 +1,67 @@
+"""Loss / AUC metric tests, pinned to the reference's unit-test values
+(reference: tests/test_utils.cpp:20-43)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ftrl_ffm_tpu.metrics import LossAccumulator, StreamingAUC, exact_auc
+from ftrl_ffm_tpu.models.base import binary_logloss
+
+
+def test_reference_loss_values():
+    # loss(y=1, logit=2) ~= 0.1269, loss(y=0, logit=1) ~= 1.3133
+    assert float(binary_logloss(jnp.array(2.0), jnp.array(1.0))) == pytest.approx(
+        0.126928, abs=1e-4
+    )
+    assert float(binary_logloss(jnp.array(1.0), jnp.array(0.0))) == pytest.approx(
+        1.313262, abs=1e-4
+    )
+
+
+def test_sigmoid_reference_value():
+    import jax
+
+    assert float(jax.nn.sigmoid(jnp.array(1.0))) == pytest.approx(0.7311, abs=1e-4)
+
+
+def test_loss_extreme_logits_finite():
+    l = binary_logloss(jnp.array([40.0, -40.0]), jnp.array([0.0, 1.0]))
+    assert np.all(np.isfinite(np.asarray(l)))
+
+
+def test_loss_accumulator():
+    acc = LossAccumulator()
+    acc.update(10.0, 4)
+    acc.update(2.0, 2)
+    assert acc.mean == pytest.approx(2.0)
+    acc.reset()
+    assert np.isnan(acc.mean)
+
+
+def test_streaming_auc_matches_exact():
+    rng = np.random.default_rng(0)
+    n = 20000
+    labels = (rng.random(n) < 0.3).astype(np.float32)
+    # informative scores
+    logits = (labels * 2 - 1) * rng.random(n) * 3 + rng.standard_normal(n)
+    scores = 1 / (1 + np.exp(-logits))
+
+    auc = StreamingAUC(8192)
+    for s in range(0, n, 4096):
+        pos, neg = StreamingAUC.bucket_counts(
+            jnp.asarray(logits[s : s + 4096]),
+            jnp.asarray(labels[s : s + 4096]),
+            jnp.ones(min(4096, n - s), jnp.float32),
+            8192,
+        )
+        auc.update(pos, neg)
+    ref = exact_auc(scores, labels)
+    assert auc.result() == pytest.approx(ref, abs=2e-3)
+
+
+def test_auc_perfect_and_random():
+    labels = np.array([0, 0, 1, 1], np.float32)
+    assert exact_auc(np.array([0.1, 0.2, 0.8, 0.9]), labels) == 1.0
+    assert exact_auc(np.array([0.9, 0.8, 0.2, 0.1]), labels) == 0.0
+    assert exact_auc(np.array([0.5, 0.5, 0.5, 0.5]), labels) == 0.5

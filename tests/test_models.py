@@ -1,0 +1,200 @@
+"""Model parity tests: the batched TPU step at B=1 reproduces the sequential
+per-sample reference algorithm (via the numpy oracle) for LR / FM / FFM."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ftrl_ffm_tpu.config import Config
+from ftrl_ffm_tpu.models import Batch, make_model
+from tests.reference_oracle import Oracle
+
+N_FEATS = 50
+N_FIELDS = 4
+K = 3
+
+
+def make_batch(samples, max_nnz, n_feats, batch_size=None):
+    """samples: list of (fields, ids, vals, y)."""
+    b = batch_size or len(samples)
+    fields = np.zeros((b, max_nnz), np.int32)
+    feats = np.full((b, max_nnz), n_feats, np.int32)
+    vals = np.zeros((b, max_nnz), np.float32)
+    y = np.zeros(b, np.float32)
+    w = np.zeros(b, np.float32)
+    for s, (fl, ids, vl, yy) in enumerate(samples):
+        m = len(ids)
+        fields[s, :m] = fl
+        feats[s, :m] = ids
+        vals[s, :m] = vl
+        y[s] = yy
+        w[s] = 1.0
+    return Batch(*(jnp.asarray(a) for a in (fields, feats, vals, y, w)))
+
+
+def random_samples(rng, n, n_feats=N_FEATS, n_fields=N_FIELDS, nnz=4):
+    out = []
+    for _ in range(n):
+        ids = rng.choice(n_feats, size=nnz, replace=False)
+        fields = rng.integers(0, n_fields, size=nnz)
+        vals = rng.random(nnz).astype(np.float32) + 0.1
+        y = int(rng.random() < 0.5)
+        out.append((fields, ids, vals, y))
+    return out
+
+
+def _cfg(model_type, semantics="keep_init"):
+    return Config(
+        model_type=model_type,
+        n_feats=N_FEATS,
+        n_fields=N_FIELDS,
+        n_factors=K,
+        factor_semantics=semantics,
+        batch_size=1,
+    )
+
+
+@pytest.mark.parametrize("model_type", ["LR", "FM", "FFM"])
+@pytest.mark.parametrize("semantics", ["keep_init", "reference"])
+def test_b1_trajectory_matches_oracle(model_type, semantics):
+    cfg = _cfg(model_type, semantics)
+    model = make_model(cfg)
+    state = model.init()
+
+    vec_init = None
+    if model_type != "LR" and semantics == "keep_init":
+        vec_init = np.asarray(state.vec_init)
+    oracle = Oracle(
+        model_type,
+        N_FEATS,
+        N_FIELDS,
+        K if model_type != "LR" else 0,
+        vec_init=vec_init,
+    )
+
+    rng = np.random.default_rng(7)
+    samples = random_samples(rng, 30)
+    for t, (fl, ids, vl, y) in enumerate(samples):
+        batch = make_batch([(fl, ids, vl, y)], max_nnz=6, n_feats=N_FEATS)
+        out = model.train_step(state, batch)
+        state = out.state
+        ref_logit = oracle.train(fl, ids, vl, y)
+        ours = float(out.logits[0])
+        assert ours == pytest.approx(ref_logit, rel=2e-3, abs=2e-4), (
+            f"step {t}: {ours} vs {ref_logit}"
+        )
+
+    # final accumulator tables match
+    np.testing.assert_allclose(
+        np.asarray(state.lin_z), oracle.lin_z, rtol=2e-3, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.lin_n), oracle.lin_n, rtol=2e-3, atol=2e-5
+    )
+    if model_type != "LR":
+        np.testing.assert_allclose(
+            np.asarray(state.vec_z), oracle.vec_z, rtol=2e-2, atol=2e-4
+        )
+
+
+def test_reference_semantics_factor_collapse():
+    """Under exact reference semantics, factors materialize to 0 on first
+    touch (z=0 -> w=0) so factor grads vanish and FFM degenerates to LR —
+    the behavior implied by reference src/model/ffm.cpp:72-88.  keep_init
+    avoids this."""
+    rng = np.random.default_rng(3)
+    samples = random_samples(rng, 20)
+
+    cfg_ref = _cfg("FFM", "reference")
+    m_ref = make_model(cfg_ref)
+    s_ref = m_ref.init()
+    for fl, ids, vl, y in samples:
+        s_ref = m_ref.train_step(s_ref, make_batch([(fl, ids, vl, y)], 6, N_FEATS)).state
+    assert float(jnp.abs(s_ref.vec_z).sum()) == 0.0  # factors never moved
+
+    cfg_ki = _cfg("FFM", "keep_init")
+    m_ki = make_model(cfg_ki)
+    s_ki = m_ki.init()
+    for fl, ids, vl, y in samples:
+        s_ki = m_ki.train_step(s_ki, make_batch([(fl, ids, vl, y)], 6, N_FEATS)).state
+    assert float(jnp.abs(s_ki.vec_z).sum()) > 0.0  # factors trained
+
+
+@pytest.mark.parametrize("model_type", ["LR", "FM", "FFM"])
+def test_batched_equals_per_sample_when_ids_disjoint(model_type):
+    """With disjoint feature ids across samples, one batched step of B samples
+    must equal B sequential steps (no cross-sample interaction, bias aside)."""
+    cfg = _cfg(model_type)
+    model = make_model(cfg)
+
+    rng = np.random.default_rng(11)
+    samples = []
+    pool = rng.permutation(N_FEATS)
+    for s in range(4):
+        ids = pool[s * 4 : s * 4 + 4]
+        fields = np.arange(4) % N_FIELDS
+        vals = rng.random(4).astype(np.float32) + 0.1
+        samples.append((fields, ids, vals, int(rng.random() < 0.5)))
+
+    state_b = model.init()
+    out = model.train_step(state_b, make_batch(samples, 6, N_FEATS))
+
+    # sequential with a frozen bias (zero its grad contribution by comparing
+    # only the linear/vec tables of ids, which don't depend on bias updates
+    # within the step since all reads happen before updates)
+    state_s = model.init()
+    for smp in samples:
+        o = model.train_step(state_s, make_batch([smp], 6, N_FEATS))
+        state_s = o.state
+    # trajectories differ only through the shared bias (updated between
+    # sequential steps); with alpha tiny the bias moves O(alpha), so tables
+    # agree tightly.
+    np.testing.assert_allclose(
+        np.asarray(out.state.lin_z), np.asarray(state_s.lin_z), rtol=1e-3, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.state.lin_n), np.asarray(state_s.lin_n), rtol=1e-3, atol=5e-6
+    )
+
+
+def test_predict_proba_range_and_padding():
+    cfg = _cfg("FFM")
+    model = make_model(cfg)
+    state = model.init()
+    rng = np.random.default_rng(5)
+    samples = random_samples(rng, 3)
+    batch = make_batch(samples, 6, N_FEATS, batch_size=8)  # 5 padded samples
+    probs = np.asarray(model.predict_proba(state, batch))
+    assert probs.shape == (8,)
+    assert np.all((probs > 0) & (probs < 1))
+
+
+def test_materialize_weights_shapes():
+    for mt in ("LR", "FM", "FFM"):
+        cfg = _cfg(mt)
+        model = make_model(cfg)
+        state = model.init()
+        bias, lin_w, vec_w = model.materialize_weights(state)
+        assert lin_w.shape == (N_FEATS,)
+        if mt == "LR":
+            assert vec_w is None
+        elif mt == "FM":
+            assert vec_w.shape == (N_FEATS, K)
+        else:
+            assert vec_w.shape == (N_FEATS, N_FIELDS * K)
+
+
+def test_training_sparsifies_weights():
+    """L1 actually produces exact zeros on trained linear weights — the
+    reference's closest convergence assertion (tests/test_task.cpp asserts
+    has_zero_weights)."""
+    cfg = _cfg("LR")
+    model = make_model(cfg)
+    state = model.init()
+    rng = np.random.default_rng(13)
+    for _ in range(10):
+        state = model.train_step(
+            state, make_batch(random_samples(rng, 8), 6, N_FEATS, batch_size=8)
+        ).state
+    _, lin_w, _ = model.materialize_weights(state)
+    assert np.any(np.asarray(lin_w) == 0.0)

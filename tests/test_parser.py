@@ -1,0 +1,86 @@
+"""Parser unit tests (behavioral parity with reference src/data/parser.cpp)."""
+
+import numpy as np
+import pytest
+
+from ftrl_ffm_tpu.config import detect_file_type
+from ftrl_ffm_tpu.data.parser import parse_text, sniff_max_nnz
+
+LIBFFM = (
+    "1 0:3:1 1:7:1 2:9:0.5\n"
+    "0 0:4:1 1:8:1 2:9:0.25\n"
+    "-1 0:3:1 2:9:1\n"          # label -1 -> 0
+    "2 0:3:0 1:7:2.5\n"          # zero-valued feature dropped; label 2 -> 1
+)
+LIBSVM = "1 3:1 7:1 9:0.5\n0 4:1 8:1 9:0.25\n"
+
+
+def test_libffm_exact():
+    c = parse_text(LIBFFM, "libffm", max_nnz=4, n_feats=10, n_fields=3)
+    assert c.y.tolist() == [1.0, 0.0, 0.0, 1.0]
+    np.testing.assert_array_equal(c.fields[0, :3], [0, 1, 2])
+    np.testing.assert_array_equal(c.feats[0, :3], [3, 7, 9])
+    np.testing.assert_allclose(c.vals[0, :3], [1.0, 1.0, 0.5])
+    # padding slot
+    assert c.feats[0, 3] == 10 and c.vals[0, 3] == 0.0
+    # zero-valued feature of line 4 disabled in place
+    assert c.feats[3, 0] == 10 and c.vals[3, 0] == 0.0
+    assert c.feats[3, 1] == 7 and c.vals[3, 1] == 2.5
+
+
+def test_libsvm_exact():
+    c = parse_text(LIBSVM, "libsvm", max_nnz=3, n_feats=10, n_fields=1)
+    assert c.y.tolist() == [1.0, 0.0]
+    np.testing.assert_array_equal(c.fields[0], [0, 0, 0])  # dummy field 0
+    np.testing.assert_array_equal(c.feats[0], [3, 7, 9])
+    np.testing.assert_allclose(c.vals[1], [1.0, 1.0, 0.25])
+
+
+def test_out_of_range_filtered():
+    # feat 99 >= n_feats, field 7 >= n_fields -> disabled (remove_out_range)
+    text = "1 0:99:1 7:3:1 1:5:1\n"
+    c = parse_text(text, "libffm", max_nnz=3, n_feats=10, n_fields=3)
+    assert c.feats[0, 0] == 10 and c.vals[0, 0] == 0.0
+    assert c.feats[0, 1] == 10 and c.vals[0, 1] == 0.0
+    assert c.feats[0, 2] == 5 and c.vals[0, 2] == 1.0
+
+
+def test_truncation_beyond_max_nnz():
+    text = "1 " + " ".join(f"0:{i}:1" for i in range(8)) + "\n"
+    c = parse_text(text, "libffm", max_nnz=4, n_feats=100, n_fields=2)
+    assert c.nnz[0] == 8
+    np.testing.assert_array_equal(c.feats[0], [0, 1, 2, 3])
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError):
+        parse_text("1 0:3\n", "libffm", 2, 10, 2)  # odd ':' count
+    with pytest.raises(ValueError):
+        parse_text("abc 0:3:1\n", "libffm", 2, 10, 2)  # non-numeric token
+
+
+def test_blank_lines_skipped():
+    c = parse_text("1 0:1:1\n\n0 1:2:1\n", "libffm", 2, 10, 2)
+    assert c.y.shape[0] == 2
+
+
+def test_detect_file_type(tmp_path):
+    # reference: src/utils/cmd_option.cpp:35-59
+    p1 = tmp_path / "a.txt"
+    p1.write_text(LIBSVM)
+    assert detect_file_type(str(p1)) == "libsvm"
+    p2 = tmp_path / "b.txt"
+    p2.write_text(LIBFFM)
+    assert detect_file_type(str(p2)) == "libffm"
+    p3 = tmp_path / "c.txt"
+    p3.write_text("1 3:4:5:6\n")
+    with pytest.raises(ValueError):
+        detect_file_type(str(p3))
+
+
+def test_sniff_max_nnz(tmp_path):
+    p = tmp_path / "d.txt"
+    p.write_text(LIBFFM)
+    assert sniff_max_nnz(str(p), "libffm") == 3
+    p.write_text(LIBSVM)
+    assert sniff_max_nnz(str(p), "libsvm") == 3

@@ -1,0 +1,76 @@
+"""End-to-end training tests (the analogue of reference tests/test_task.cpp):
+online + offline multi-epoch FFM training on the fixture must run, report
+decreasing loss, and produce L1-sparsified (exactly zero) weights."""
+
+import numpy as np
+import pytest
+
+from ftrl_ffm_tpu.config import Config
+from ftrl_ffm_tpu.train import Trainer
+from tests.common import FIXTURE_FEATS, FIXTURE_FIELDS, write_fixture
+
+
+def _cfg(train_path, eval_path, online, **kw):
+    base = dict(
+        train_data=train_path,
+        eval_data=eval_path,
+        model_type="FFM",
+        n_feats=FIXTURE_FEATS,
+        n_fields=FIXTURE_FIELDS,
+        n_factors=4,
+        n_epochs=2,
+        online=online,
+        batch_size=16,
+        # larger alpha so the fixture actually moves the loss in 2 epochs
+        w_alpha=0.05,
+        w_l1=0.15,
+        w_l2=1.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.mark.parametrize("online", [True, False])
+def test_end_to_end_ffm(tmp_path, online):
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    evalp = write_fixture(tmp_path / "eval.ffm", "libffm", seed=1)
+    tr = Trainer(_cfg(train, evalp, online))
+    hist = tr.train()
+    assert len(hist["train_loss"]) == 2
+    assert all(np.isfinite(hist["train_loss"]))
+    assert hist["train_loss"][1] < hist["train_loss"][0]
+    assert np.isfinite(hist["eval_loss"][-1])
+    # L1 sparsification: some trained linear weights exactly zero
+    _, lin_w, _ = tr.model.materialize_weights(tr.state)
+    assert np.any(np.asarray(lin_w) == 0.0)
+
+
+def test_lr_on_libsvm(tmp_path):
+    train = write_fixture(tmp_path / "train.svm", "libsvm", seed=0)
+    tr = Trainer(_cfg(train, "", True, model_type="LR", n_epochs=3))
+    hist = tr.train()
+    assert hist["train_loss"][-1] < hist["train_loss"][0]
+
+
+def test_ffm_rejects_libsvm(tmp_path):
+    train = write_fixture(tmp_path / "train.svm", "libsvm", seed=0)
+    with pytest.raises(ValueError, match="libffm"):
+        Trainer(_cfg(train, "", True, model_type="FFM"))
+
+
+def test_online_offline_same_first_epoch_loss(tmp_path):
+    """With shuffling off, online and offline visit the same batches."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    t_on = Trainer(_cfg(train, "", True, n_epochs=1))
+    t_off = Trainer(_cfg(train, "", False, n_epochs=1, shuffle=False))
+    h_on = t_on.train()
+    h_off = t_off.train()
+    assert h_on["train_loss"][0] == pytest.approx(h_off["train_loss"][0], rel=1e-5)
+
+
+def test_eval_auc_reported(tmp_path):
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    evalp = write_fixture(tmp_path / "eval.ffm", "libffm", seed=1)
+    tr = Trainer(_cfg(train, evalp, False, n_epochs=1))
+    hist = tr.train()
+    assert 0.0 <= hist["eval_auc"][-1] <= 1.0
