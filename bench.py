@@ -1,0 +1,104 @@
+"""Headline benchmark: FFM (k=16) training throughput at Criteo scale.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
+
+Workload (matches the measured reference baseline config): synthetic
+Criteo-shaped libffm data — 100k samples, 39 fields, one feature per field,
+100k feature ids — trained with FFM n_factors=16, FTRL defaults, online
+(streaming single-pass) mode, full host parse + device train pipeline.
+
+Baseline: the reference C++ binary (massquantity/Ftrl-FFM, built -O3) on this
+machine's 4 CPU threads, same data/config, per-epoch train time as printed by
+the binary itself (see BASELINE.md "measured" section).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Measured reference baseline (examples/s): see BASELINE.md — reference binary,
+# 4 threads (all cores of this host), FFM k=16 on the same synthetic data
+# (best epoch: 100000 examples / 15.1413 s).
+BASELINE_EXAMPLES_PER_S = 6604.0
+
+N_SAMPLES = 100_000
+N_FIELDS = 39
+N_FEATS = 100_000
+N_FACTORS = 16
+BATCH = 8192
+DATA_PATH = "/tmp/ftrl_ffm_tpu_bench_data.txt"
+
+
+def ensure_data(path: str = DATA_PATH) -> str:
+    """Deterministic synthetic Criteo-shaped libffm file (same generator as
+    the baseline measurement)."""
+    if os.path.exists(path) and os.path.getsize(path) > 0:
+        return path
+    rng = np.random.default_rng(7)
+    per = N_FEATS // N_FIELDS
+    ids = rng.integers(0, per, (N_SAMPLES, N_FIELDS)) + np.arange(N_FIELDS) * per
+    w = rng.normal(0, 0.3, N_FEATS)
+    logit = w[ids].sum(axis=1) + rng.normal(0, 1, N_SAMPLES)
+    y = (logit > 0).astype(int)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for i in range(N_SAMPLES):
+            toks = [str(y[i])] + [f"{c}:{ids[i, c]}:1" for c in range(N_FIELDS)]
+            f.write(" ".join(toks) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def main() -> None:
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    path = ensure_data()
+    cfg = Config(
+        train_data=path,
+        model_type="FFM",
+        n_fields=N_FIELDS,
+        n_feats=N_FEATS,
+        n_factors=N_FACTORS,
+        online=True,
+        n_epochs=1,
+        batch_size=BATCH,
+        max_nnz=N_FIELDS,
+    )
+    trainer = Trainer(cfg)
+
+    # Warm-up epoch: compile + page in (excluded, like the reference's
+    # per-epoch timer excludes its init).
+    trainer.train_epoch()
+    import jax
+
+    jax.block_until_ready(trainer.state.lin_z)
+
+    times = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        trainer.train_epoch()
+        jax.block_until_ready(trainer.state.lin_z)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    eps = N_SAMPLES / best
+    print(
+        json.dumps(
+            {
+                "metric": "ffm_k16_criteo_scale_online_train_throughput",
+                "value": round(eps, 1),
+                "unit": "examples/s",
+                "vs_baseline": round(eps / BASELINE_EXAMPLES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

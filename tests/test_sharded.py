@@ -1,0 +1,115 @@
+"""Sharded step ((data, model) mesh) must match the single-device step.
+
+Runs on the virtual 8-device CPU mesh from conftest.py — the TPU-free
+equivalent of a multi-chip slice (SURVEY §4's "new" multi-host test tier).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ftrl_ffm_tpu.config import Config
+from ftrl_ffm_tpu.models import Batch, make_model
+from ftrl_ffm_tpu.parallel import ShardedStep, make_mesh, shard_state
+
+
+def _random_batch(rng, b, f, n_feats, n_fields, pad_tail=2):
+    fields = rng.integers(0, n_fields, (b, f)).astype(np.int32)
+    feats = rng.integers(0, n_feats, (b, f)).astype(np.int32)
+    vals = rng.random((b, f)).astype(np.float32)
+    y = (rng.random(b) > 0.5).astype(np.float32)
+    sample_w = np.ones(b, np.float32)
+    # inert padding occurrences + padded samples, like real batches
+    feats[:, -1] = n_feats
+    vals[:, -1] = 0.0
+    fields[:, -1] = 0
+    if pad_tail:
+        sample_w[-pad_tail:] = 0.0
+        vals[-pad_tail:] = 0.0
+        feats[-pad_tail:] = n_feats
+        y[-pad_tail:] = 0.0
+    return (fields, feats, vals, y, sample_w)
+
+
+def _cfg(model_type, **kw):
+    return Config(
+        model_type=model_type,
+        n_feats=50,
+        n_fields=4,
+        n_factors=4,
+        batch_size=16,
+        max_nnz=5,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("model_type", ["LR", "FM", "FFM"])
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_device(model_type, mesh_shape):
+    cfg = _cfg(model_type)
+    model = make_model(cfg)
+    state0 = model.init()
+    rng = np.random.default_rng(0)
+    arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats, cfg.n_fields)
+    batch = Batch(*(jnp.asarray(a) for a in arrays))
+
+    # single-device ground truth, two steps
+    out1 = model.train_step(state0, batch)
+    out2 = model.train_step(out1.state, batch)
+
+    mesh = make_mesh(*mesh_shape)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    sbatch = step.place_batch(arrays)
+    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(loss_sum), float(out1.loss_sum), rtol=1e-5
+    )
+    assert float(count) == float(out1.count)
+    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+
+    r = cfg.n_feats
+    np.testing.assert_allclose(
+        np.asarray(sstate.lin_z)[:r], np.asarray(out2.state.lin_z), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(sstate.lin_n)[:r], np.asarray(out2.state.lin_n), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        float(sstate.bias_z), float(out2.state.bias_z), rtol=1e-5
+    )
+    if model_type != "LR":
+        np.testing.assert_allclose(
+            np.asarray(sstate.vec_z)[:r],
+            np.asarray(out2.state.vec_z),
+            rtol=1e-4,
+            atol=1e-7,
+        )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(out2.logits), rtol=1e-5, atol=1e-6
+    )
+
+
+@pytest.mark.parametrize("model_type", ["FFM"])
+def test_sharded_eval_matches(model_type):
+    cfg = _cfg(model_type)
+    model = make_model(cfg)
+    state0 = model.init()
+    rng = np.random.default_rng(1)
+    arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats, cfg.n_fields)
+    batch = Batch(*(jnp.asarray(a) for a in arrays))
+    loss_sum, count, logits = model.eval_step(state0, batch)
+
+    mesh = make_mesh(4, 2)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    sloss, scount, slogits = step.eval_step(sstate, step.place_batch(arrays))
+    np.testing.assert_allclose(float(sloss), float(loss_sum), rtol=1e-5)
+    assert float(scount) == float(count)
+    np.testing.assert_allclose(
+        np.asarray(slogits), np.asarray(logits), rtol=1e-5, atol=1e-6
+    )
