@@ -1,0 +1,124 @@
+"""Command-line interface reproducing the reference flag surface.
+
+reference: src/main.cpp:13-34, src/include/utils/cmd_option.h:7-27 (help
+text), src/utils/cmd_option.cpp:61-114 (manual --key value parsing).  Same
+flags and defaults, plus TPU-native extras (batch size, mesh shape, AUC).
+
+Usage:
+    python -m ftrl_ffm_tpu --train_data data.txt --model_type FFM ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from ftrl_ffm_tpu.config import Config
+
+
+def _str2bool(v: str) -> bool:
+    # the reference accepts "true"/"false" words (README.md:63-66)
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("true", "1", "yes", "on"):
+        return True
+    if v.lower() in ("false", "0", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected true/false, got {v!r}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ftrl_ffm_tpu",
+        description=(
+            "TPU-native FTRL-Proximal training for LR / FM / FFM binary "
+            "classifiers on libsvm / libffm data."
+        ),
+    )
+    # ---- reference flags (src/include/utils/cmd_option.h:49-63 defaults) ----
+    p.add_argument("--model_path", default="", help="checkpoint / model output path")
+    p.add_argument("--train_data", default="", help="training data path")
+    p.add_argument("--eval_data", default="", help="evaluation data path")
+    p.add_argument("--model_type", default="FFM", help="LR | FM | FFM")
+    p.add_argument("--init_mean", type=float, default=0.0, help="factor init mean")
+    p.add_argument("--init_stddev", type=float, default=0.02, help="factor init stddev")
+    p.add_argument("--w_alpha", type=float, default=1e-4, help="FTRL alpha")
+    p.add_argument("--w_beta", type=float, default=1.0, help="FTRL beta")
+    p.add_argument("--w_l1", type=float, default=0.1, help="L1 regularization")
+    p.add_argument("--w_l2", type=float, default=5.0, help="L2 regularization")
+    p.add_argument("--n_threads", type=int, default=1, help="host parse workers")
+    p.add_argument("--n_epochs", type=int, default=1, help="number of epochs")
+    p.add_argument("--n_fields", type=int, default=8, help="number of fields")
+    p.add_argument("--n_feats", type=int, default=10000, help="feature table rows")
+    p.add_argument("--n_factors", type=int, default=16, help="latent factors")
+    p.add_argument("--online", type=_str2bool, default=True,
+                   help="true: streaming single-pass; false: in-memory shuffled")
+    p.add_argument("--cmd", type=_str2bool, default=False,
+                   help="read training stream from stdin")
+    p.add_argument("--file_type", default="", help="libsvm | libffm (auto-detect)")
+    # ---- TPU-native extras ----
+    p.add_argument("--batch_size", type=int, default=4096, help="global batch size")
+    p.add_argument("--max_nnz", type=int, default=0,
+                   help="pad/truncate nnz per sample (0 = sniff from data)")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--factor_semantics", default="keep_init",
+                   help="keep_init | reference (see Config)")
+    p.add_argument("--mesh_data", type=int, default=1,
+                   help="data-parallel mesh axis size (0 = all remaining devices)")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="table-sharding mesh axis size")
+    p.add_argument("--eval_auc", type=_str2bool, default=True)
+    p.add_argument("--shuffle", type=_str2bool, default=True)
+    p.add_argument("--compress_level", type=int, default=3, help="zstd level")
+    p.add_argument("--load_model", default="",
+                   help="resume from a full checkpoint (model_path saves one)")
+    p.add_argument("--export_reference_model", default="",
+                   help="also export weights as a reference-compatible zstd blob")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    kwargs = {k: v for k, v in vars(args).items()
+              if k not in ("load_model", "export_reference_model")}
+    cfg = Config(**kwargs)
+    if not cfg.train_data and not cfg.cmd:
+        print("error: --train_data is required (or --cmd true for stdin)",
+              file=sys.stderr)
+        return 2
+
+    from ftrl_ffm_tpu.train import Trainer
+
+    state = None
+    if args.load_model:
+        from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
+
+        state, extra = load_checkpoint(args.load_model)
+        print(f"resumed from {args.load_model} (step {int(state.step)})")
+
+    t0 = time.perf_counter()
+    trainer = Trainer(cfg, state=state)
+    trainer.train()
+    print(f"total time: {time.perf_counter() - t0:.4f}s")
+
+    if cfg.model_path:
+        from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(cfg.model_path, trainer.state, level=cfg.compress_level,
+                        extra={"config": {k: v for k, v in vars(args).items()}})
+        print(f"checkpoint saved to {cfg.model_path}")
+    if args.export_reference_model:
+        from ftrl_ffm_tpu.io.checkpoint import export_reference_model
+
+        bias, lin_w, vec_w = trainer.model.materialize_weights(trainer.state)
+        export_reference_model(
+            args.export_reference_model, float(bias), lin_w, vec_w,
+            level=cfg.compress_level,
+        )
+        print(f"reference-format model saved to {args.export_reference_model}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

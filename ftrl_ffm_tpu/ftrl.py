@@ -2,9 +2,12 @@
 
 The reference keeps, for every trainable coordinate, the FTRL accumulator pair
 (n, z) plus a lazily-materialized weight w = f(n, z)
-(reference: src/include/model/ftrl_model.h:28-50).  Here the weight is a *pure
-function* of the accumulators — there is no stored weight table to keep in
-sync, no per-row mutex, and the whole update is one functional transform.
+(reference: src/include/model/ftrl_model.h:28-50).  The TPU design keeps the
+same triple — (n, z, w) tables — but materializes w *eagerly at update time*
+instead of lazily at next-touch time (identical values, since w is a pure
+function of (n, z) once a row has been touched).  Storing w means the forward
+pass gathers exactly one table row per occurrence, like the reference's hot
+loop reads lin_w[i] / vec_w[i] directly.
 
 Closed form (reference: src/include/model/ftrl_model.h:28-33):
 
@@ -19,6 +22,16 @@ identical to the reference at batch size 1):
     sigma = (sqrt(n + sum_g2) - sqrt(n)) / alpha
     z    += sum_g - sigma * w
     n    += sum_g2
+
+The batched table update is a **dense-accumulator scatter-add**: per-occurrence
+(g, g^2) pairs scatter-add into zero-initialized accumulator tables (duplicate
+ids within the batch sum naturally — the race-free replacement for the
+reference's per-feature mutexes, src/model/ftrl_model.cpp:52-77), then one
+fused elementwise pass over the whole table applies the closed form.  Rows
+with no touches get G = G2 = 0 and are numerical no-ops.  This trades O(R)
+elementwise work per step for a sort-free, gather-free update — the right
+trade on TPU, where the elementwise pass runs at HBM speed-of-light and a
+sorted dedup materializes many [nnz, row_width] intermediates.
 """
 
 from __future__ import annotations
@@ -70,73 +83,56 @@ def ftrl_accumulate(
     return new_n, new_z
 
 
-def dedup_and_update(
+def scatter_grads(
+    shape: tuple,
+    ids: jax.Array,
+    g: jax.Array,
+    g2: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Scatter-add per-occurrence (g, g^2) into dense accumulators of `shape`.
+
+    ids: int32 [N]; entries >= shape[0] (the padding sentinel, one past the
+    last row) are dropped.  Duplicate ids accumulate — the deterministic
+    replacement for the reference's mutex-serialized read-modify-write
+    (src/model/ftrl_model.cpp:66-77).
+    """
+    zeros = jnp.zeros(shape, dtype=g.dtype)
+    sum_g = zeros.at[ids].add(g, mode="drop")
+    sum_g2 = zeros.at[ids].add(g2, mode="drop")
+    return sum_g, sum_g2
+
+
+def dense_ftrl_update(
     n_tab: jax.Array,
     z_tab: jax.Array,
+    w_tab: jax.Array,
     ids: jax.Array,
     g: jax.Array,
     g2: jax.Array,
     p: FtrlParams,
-    w_gathered: jax.Array | None = None,
-    w_init: jax.Array | None = None,
-) -> tuple[jax.Array, jax.Array]:
-    """Aggregate per-occurrence grads by feature id and apply one FTRL step.
-
-    This is the deterministic, race-free TPU replacement for the reference's
-    per-feature mutexes (src/model/ftrl_model.cpp:52-77): the same feature id
-    appearing many times in a batch has its g and g^2 summed with a sorted
-    segment-sum, then a single closed-form update touches each unique row once.
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One batched FTRL step over a whole (n, z, w) table.
 
     Args:
-      n_tab, z_tab: full accumulator tables, shape [R] or [R, D].
-      ids: int32 [N] flat feature ids; entries == R (one past the end) are
-        padding sentinels and are dropped by the scatter.
+      n_tab, z_tab, w_tab: accumulators + materialized weights, [R] or [R, D].
+        w_tab must be the weights the gradients were computed against; for
+        never-touched rows it holds the init value (random factor init under
+        "keep_init" semantics, zeros under exact "reference" semantics — see
+        Config.factor_semantics).
+      ids: int32 [N] flat feature ids; entries >= R are padding and dropped.
       g, g2: per-occurrence gradient and squared gradient, [N] or [N, D].
-      p: FTRL hyper-parameters.
-      w_gathered: optional pre-computed weights at the *occurrence* level; if
-        None they are re-derived from the tables at the unique-row level
-        (identical because w is a pure function of (n, z)).
-      w_init: optional random-init table [R, D]; when given, coordinates with
-        n == 0 and z == 0 use w_init instead of the closed form ("keep_init"
-        factor semantics — see Config.factor_semantics).
 
     Returns:
-      (new_n_tab, new_z_tab)
+      (new_n, new_z, new_w).  Untouched rows (G = G2 = 0) keep n, z and w
+      bit-exactly: sigma = 0 so z and n are unchanged, and new_w falls back
+      to w_tab wherever n stays 0 (preserving the stored init — the
+      functional form of the reference's lazy materialization,
+      src/model/ftrl_model.cpp:52-59 / src/model/ffm.cpp:72-88).
     """
-    del w_gathered  # w is re-derived at unique-row level; kept for API clarity
-    num = ids.shape[0]
-    order = jnp.argsort(ids)
-    sids = jnp.take(ids, order)
-    sg = jnp.take(g, order, axis=0)
-    sg2 = jnp.take(g2, order, axis=0)
-
-    # Run-length structure of the sorted id list.
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), sids[1:] != sids[:-1]]
-    )
-    seg = jnp.cumsum(is_start) - 1  # run index per element, [N]
-
-    sum_g = jax.ops.segment_sum(sg, seg, num_segments=num)
-    sum_g2 = jax.ops.segment_sum(sg2, seg, num_segments=num)
-
-    # Unique id per run; rows never written stay at the drop sentinel.
-    sentinel = n_tab.shape[0]
-    uniq = jnp.full((num,), sentinel, dtype=ids.dtype).at[seg].set(sids)
-
-    n_rows = jnp.take(n_tab, uniq, axis=0, mode="clip")
-    z_rows = jnp.take(z_tab, uniq, axis=0, mode="clip")
-    w_rows = ftrl_weights(n_rows, z_rows, p)
-    if w_init is not None:
-        untouched = jnp.logical_and(n_rows == 0, z_rows == 0)
-        init_rows = jnp.take(w_init, uniq, axis=0, mode="clip")
-        w_rows = jnp.where(untouched, init_rows, w_rows)
-
-    new_n_rows, new_z_rows = ftrl_accumulate(n_rows, z_rows, w_rows, sum_g, sum_g2, p)
-
-    # mode="drop" discards sentinel rows (and any out-of-range id).
-    n_tab = n_tab.at[uniq].set(new_n_rows, mode="drop")
-    z_tab = z_tab.at[uniq].set(new_z_rows, mode="drop")
-    return n_tab, z_tab
+    sum_g, sum_g2 = scatter_grads(n_tab.shape, ids, g, g2)
+    new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_tab, sum_g, sum_g2, p)
+    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_tab)
+    return new_n, new_z, new_w
 
 
 def bias_update(

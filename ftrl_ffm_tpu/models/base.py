@@ -2,8 +2,14 @@
 
 The reference's model hierarchy (FtrlModel <- LR/FM/FFM,
 src/include/model/ftrl_model.h:15-50) becomes: one `ModelState` pytree of
-FTRL accumulator tables plus stateless per-model logit/grad functions.  No
-mutexes — batching + segment-sum dedup make updates deterministic.
+(n, z, w) tables plus stateless per-model logit/grad functions.  No mutexes —
+batching + dense scatter-add accumulation make updates deterministic.
+
+The stored w tables mirror the reference's lin_w / vec_w arrays
+(src/include/model/ftrl_model.h:41-48, src/model/ffm.cpp:17-28): the forward
+pass gathers one row per occurrence, and each train step refreshes w for
+touched rows from the closed form — the eager equivalent of the reference's
+lazy `update_linear_w` / `update_vector_w` materialization.
 """
 
 from __future__ import annotations
@@ -17,7 +23,7 @@ from ftrl_ffm_tpu.config import Config
 from ftrl_ffm_tpu.ftrl import (
     FtrlParams,
     bias_update,
-    dedup_and_update,
+    dense_ftrl_update,
     ftrl_weights,
 )
 
@@ -38,22 +44,24 @@ class Batch(NamedTuple):
 
 
 class ModelState(NamedTuple):
-    """FTRL accumulators for every trainable table.
+    """(n, z, w) triples for every trainable table.
 
-    Mirrors the reference's (bias_n, bias_z), (lin_w_n, lin_w_z) and
-    (vec_w_n, vec_w_z) arrays (src/include/model/ftrl_model.h:41-48,
-    src/model/ffm.cpp:17-28).  Weights are derived, not stored.
-    `vec_init` holds the random factor init used by the "keep_init" factor
-    semantics (see Config.factor_semantics); None for LR.
+    Mirrors the reference's (bias_n, bias_z), (lin_w, lin_w_n, lin_w_z) and
+    (vec_w, vec_w_n, vec_w_z) arrays (src/include/model/ftrl_model.h:41-48,
+    src/model/ffm.cpp:17-28).  The bias weight is derived on the fly (scalar).
+    vec_w doubles as the random factor init for untouched rows ("keep_init"
+    semantics) or starts at zero (exact "reference" semantics); see
+    Config.factor_semantics.
     """
 
     bias_n: jax.Array
     bias_z: jax.Array
     lin_n: jax.Array   # [R]
     lin_z: jax.Array   # [R]
-    vec_n: Optional[jax.Array]    # [R, D] or None
-    vec_z: Optional[jax.Array]    # [R, D] or None
-    vec_init: Optional[jax.Array]  # [R, D] or None
+    lin_w: jax.Array   # [R]
+    vec_n: Optional[jax.Array]   # [R, D] or None
+    vec_z: Optional[jax.Array]   # [R, D] or None
+    vec_w: Optional[jax.Array]   # [R, D] or None
     step: jax.Array    # int32 scalar
 
 
@@ -90,48 +98,42 @@ class Model:
         if self.row_width:
             vec_n = jnp.zeros((r, self.row_width), jnp.float32)
             vec_z = jnp.zeros((r, self.row_width), jnp.float32)
-            # Gaussian init like utils::init_weights
-            # (reference: src/include/utils/utils.h:38-61).
-            vec_init = (
-                self.cfg.init_mean
-                + self.cfg.init_stddev
-                * jax.random.normal(key, (r, self.row_width), jnp.float32)
-            )
             if self.cfg.factor_semantics == "reference":
-                vec_init = None
+                # reference lazy materialization: first touch writes
+                # w = f(n=0, z=0) = 0, so factors never leave zero
+                # (src/model/ffm.cpp:72-88) — init is irrelevant.
+                vec_w = jnp.zeros((r, self.row_width), jnp.float32)
+            else:
+                # Gaussian init like utils::init_weights
+                # (reference: src/include/utils/utils.h:38-61), kept until a
+                # row is first touched (alphaFM-style "keep_init").
+                vec_w = (
+                    self.cfg.init_mean
+                    + self.cfg.init_stddev
+                    * jax.random.normal(key, (r, self.row_width), jnp.float32)
+                )
         else:
-            vec_n = vec_z = vec_init = None
-        # distinct buffers per field: donating the same buffer twice in one
-        # jitted call is an error
+            vec_n = vec_z = vec_w = None
         return ModelState(
             bias_n=jnp.zeros((), jnp.float32),
             bias_z=jnp.zeros((), jnp.float32),
             lin_n=jnp.zeros((r,), jnp.float32),
             lin_z=jnp.zeros((r,), jnp.float32),
+            # linear init is irrelevant in the reference for the same lazy-
+            # materialization reason (src/model/ftrl_model.cpp:52-59): w = 0.
+            lin_w=jnp.zeros((r,), jnp.float32),
             vec_n=vec_n,
             vec_z=vec_z,
-            vec_init=vec_init,
+            vec_w=vec_w,
             step=jnp.zeros((), jnp.int32),
         )
 
-    # ---- gathered weights ----
+    # ---- gathered weights (single gather per table — w is stored) ----
     def _gather_linear(self, state: ModelState, feats: jax.Array):
-        """w = f(n, z) on touched linear rows — the functional analogue of the
-        reference's lazy update_linear_w (src/model/ftrl_model.cpp:52-59)."""
-        ln = jnp.take(state.lin_n, feats, mode="clip")
-        lz = jnp.take(state.lin_z, feats, mode="clip")
-        return ftrl_weights(ln, lz, self.params)
+        return jnp.take(state.lin_w, feats, mode="clip")
 
     def _gather_vec(self, state: ModelState, feats: jax.Array):
-        vn = jnp.take(state.vec_n, feats, axis=0, mode="clip")
-        vz = jnp.take(state.vec_z, feats, axis=0, mode="clip")
-        w = ftrl_weights(vn, vz, self.params)
-        if state.vec_init is not None:
-            untouched = jnp.logical_and(vn == 0, vz == 0)
-            w = jnp.where(
-                untouched, jnp.take(state.vec_init, feats, axis=0, mode="clip"), w
-            )
-        return w
+        return jnp.take(state.vec_w, feats, axis=0, mode="clip")
 
     def bias_weight(self, state: ModelState) -> jax.Array:
         return ftrl_weights(state.bias_n, state.bias_z, self.params)
@@ -159,32 +161,21 @@ class Model:
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 
         # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
-        g_lin = gs[:, None] * batch.vals  # [B, F]
+        g_lin = (gs[:, None] * batch.vals).reshape(-1)
         ids = batch.feats.reshape(-1)
-        lin_n, lin_z = dedup_and_update(
-            state.lin_n,
-            state.lin_z,
-            ids,
-            g_lin.reshape(-1),
-            (g_lin * g_lin).reshape(-1),
-            p,
+        lin_n, lin_z, lin_w = dense_ftrl_update(
+            state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
         )
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
-        vec_n, vec_z = state.vec_n, state.vec_z
+        vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if dlogit_dv is not None:
-            g_vec = gs[:, None, None] * dlogit_dv.reshape(
-                dlogit_dv.shape[0], dlogit_dv.shape[1], -1
-            )  # [B, F, D]
-            g_vec_flat = g_vec.reshape(-1, g_vec.shape[-1])
-            vec_n, vec_z = dedup_and_update(
-                state.vec_n,
-                state.vec_z,
-                ids,
-                g_vec_flat,
-                g_vec_flat * g_vec_flat,
-                p,
-                w_init=state.vec_init,
+            g_vec = (
+                gs[:, None, None]
+                * dlogit_dv.reshape(dlogit_dv.shape[0], dlogit_dv.shape[1], -1)
+            ).reshape(-1, state.vec_w.shape[-1])  # [B*F, D]
+            vec_n, vec_z, vec_w = dense_ftrl_update(
+                state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g_vec * g_vec, p
             )
 
         new_state = ModelState(
@@ -192,9 +183,10 @@ class Model:
             bias_z=bias_z,
             lin_n=lin_n,
             lin_z=lin_z,
+            lin_w=lin_w,
             vec_n=vec_n,
             vec_z=vec_z,
-            vec_init=state.vec_init,
+            vec_w=vec_w,
             step=state.step + 1,
         )
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
@@ -215,15 +207,8 @@ class Model:
     # ---- export (reference weight-layout materialization) ----
     def materialize_weights(self, state: ModelState):
         """Dense (bias, lin_w[, vec_w]) in the reference's save layout
-        (reference: src/model/ffm.cpp:138-147).  Untouched rows materialize to
-        the closed form (0), or to the stored init under keep_init semantics.
+        (reference: src/model/ffm.cpp:138-147).  w tables are stored, so this
+        is a read-out; untouched factor rows hold the init under keep_init
+        semantics (zero under reference semantics), untouched linear rows 0.
         """
-        bias = self.bias_weight(state)
-        lin_w = ftrl_weights(state.lin_n, state.lin_z, self.params)
-        vec_w = None
-        if state.vec_n is not None:
-            vec_w = ftrl_weights(state.vec_n, state.vec_z, self.params)
-            if state.vec_init is not None:
-                untouched = jnp.logical_and(state.vec_n == 0, state.vec_z == 0)
-                vec_w = jnp.where(untouched, state.vec_init, vec_w)
-        return bias, lin_w, vec_w
+        return self.bias_weight(state), state.lin_w, state.vec_w

@@ -51,9 +51,10 @@ def state_pspecs(state: ModelState) -> ModelState:
         bias_z=P(),
         lin_n=table_1d,
         lin_z=table_1d,
+        lin_w=table_1d,
         vec_n=None if state.vec_n is None else table_2d,
         vec_z=None if state.vec_z is None else table_2d,
-        vec_init=None if state.vec_init is None else table_2d,
+        vec_w=None if state.vec_w is None else table_2d,
         step=P(),
     )
 
@@ -63,8 +64,7 @@ def pad_state_tables(state: ModelState, n_shards: int) -> ModelState:
 
     Padding rows sit past n_feats and are never addressed (valid ids are
     < n_feats; the batch-padding sentinel id == n_feats is masked out in the
-    sharded step).  vec_init padding is zero — untouched padding rows would
-    materialize w=0 either way.
+    sharded step).  w-table padding is zero — padding rows are never gathered.
     """
     r = state.lin_n.shape[0]
     rp = padded_rows(r, n_shards)
@@ -80,9 +80,10 @@ def pad_state_tables(state: ModelState, n_shards: int) -> ModelState:
     return state._replace(
         lin_n=pad(state.lin_n),
         lin_z=pad(state.lin_z),
+        lin_w=pad(state.lin_w),
         vec_n=pad(state.vec_n),
         vec_z=pad(state.vec_z),
-        vec_init=pad(state.vec_init),
+        vec_w=pad(state.vec_w),
     )
 
 

@@ -5,22 +5,23 @@ Replaces the reference's hogwild thread parallelism
 src/include/model/ftrl_model.h:49) with deterministic SPMD:
 
   * batch row-sharded over "data";
-  * feature tables (n, z accumulators) row-sharded over "model" in contiguous
-    id blocks;
-  * **lookup**: each table shard gathers its local hits (others contribute 0)
-    and a `psum` over "model" assembles full weight rows on every device;
-  * **update**: per-occurrence grads are `all_gather`ed over "data" so every
-    table shard sees the global batch's (id, g, g2) stream, then applies the
-    closed-form FTRL step to its own rows only — one deterministic update per
-    unique feature id per step, no races by construction.
+  * (n, z, w) feature tables row-sharded over "model" in contiguous id blocks;
+  * **lookup**: each table shard gathers its local w rows (others contribute
+    0) and a `psum` over "model" assembles full weight rows on every device;
+  * **update**: each device scatter-adds its batch shard's per-occurrence
+    (g, g^2) into dense local-table-shaped accumulators, a `psum` over "data"
+    completes the global per-feature sums, and one fused elementwise pass
+    applies the closed-form FTRL step to the local rows — one deterministic
+    update per feature id per step, no races by construction.
 
-All collectives are XLA (`psum`, `all_gather`) and ride ICI on a real slice.
+All collectives are XLA (`psum`) and ride ICI on a real slice.  The dense
+G/G2 psum is the classic data-parallel gradient all-reduce; it is the right
+choice while table shards fit comfortably in HBM (alternative for very large
+tables: all_gather the [nnz] id/grad stream instead — smaller when
+B*F*D << R_local*D).
 """
 
 from __future__ import annotations
-
-import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,12 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ftrl_ffm_tpu.config import Config
-from ftrl_ffm_tpu.ftrl import FtrlParams, dedup_and_update, ftrl_accumulate, ftrl_weights
+from ftrl_ffm_tpu.ftrl import (
+    FtrlParams,
+    ftrl_accumulate,
+    ftrl_weights,
+    scatter_grads,
+)
 from ftrl_ffm_tpu.models.base import Batch, ModelState, binary_logloss
 from ftrl_ffm_tpu.ops.interactions import (
     ffm_logits_and_grads,
@@ -80,36 +86,29 @@ class ShardedStep:
         lid = jnp.clip(ids - offset, 0, tab_rows - 1)
         return lid, mask
 
-    def _lookup_linear(self, lin_n, lin_z, ids):
+    def _lookup_linear(self, lin_w, ids):
         """w rows for `ids`, assembled across table shards via psum("model").
 
-        The functional analogue of the reference's lazy update_linear_w
-        (reference: src/model/ftrl_model.cpp:52-59), sharded."""
-        lid, mask = self._local_lookup_mask(lin_n.shape[0], ids)
-        w = ftrl_weights(jnp.take(lin_n, lid), jnp.take(lin_z, lid), self.params)
-        w = jnp.where(mask, w, 0.0)
+        One gather per table — w is stored, like the reference's lin_w read in
+        its hot loop (reference: src/model/ftrl_model.cpp:44-50)."""
+        lid, mask = self._local_lookup_mask(lin_w.shape[0], ids)
+        w = jnp.where(mask, jnp.take(lin_w, lid), 0.0)
         return jax.lax.psum(w, "model")
 
-    def _lookup_vec(self, vec_n, vec_z, vec_init, ids):
-        lid, mask = self._local_lookup_mask(vec_n.shape[0], ids)
-        vn = jnp.take(vec_n, lid, axis=0)
-        vz = jnp.take(vec_z, lid, axis=0)
-        w = ftrl_weights(vn, vz, self.params)
-        if vec_init is not None:
-            untouched = jnp.logical_and(vn == 0, vz == 0)
-            w = jnp.where(untouched, jnp.take(vec_init, lid, axis=0), w)
-        w = jnp.where(mask[..., None], w, 0.0)
+    def _lookup_vec(self, vec_w, ids):
+        lid, mask = self._local_lookup_mask(vec_w.shape[0], ids)
+        w = jnp.where(mask[..., None], jnp.take(vec_w, lid, axis=0), 0.0)
         return jax.lax.psum(w, "model")
 
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         cfg = self.cfg
         ids = batch.feats  # [b, F] local
         bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
-        w_lin = self._lookup_linear(state.lin_n, state.lin_z, ids)
+        w_lin = self._lookup_linear(state.lin_w, ids)
         lin = linear_logits(w_lin, batch.vals, bias_w)
         if cfg.model_type == "LR":
             return lin, None
-        v = self._lookup_vec(state.vec_n, state.vec_z, state.vec_init, ids)
+        v = self._lookup_vec(state.vec_w, ids)
         if cfg.model_type == "FM":
             logits, dv = fm_logits_and_grads(v, batch.vals, lin)
             return logits, (dv if train else None)
@@ -122,19 +121,17 @@ class ShardedStep:
             dv = dv.reshape(b, f, cfg.n_fields * cfg.n_factors)
         return logits, dv
 
-    def _scatter_update(self, n_tab, z_tab, ids_flat, g, g2, w_init=None):
-        """Global gradient stream -> this shard's FTRL update.
-
-        ids/g/g2 are all_gathered over "data" (so the dedup sees the whole
-        global batch), remapped to local row coordinates; out-of-shard ids hit
-        the drop sentinel."""
-        ids_g = jax.lax.all_gather(ids_flat, "data", axis=0, tiled=True)
-        g_g = jax.lax.all_gather(g, "data", axis=0, tiled=True)
-        g2_g = jax.lax.all_gather(g2, "data", axis=0, tiled=True)
+    def _table_update(self, n_tab, z_tab, w_tab, ids_flat, g, g2):
+        """Local dense scatter-add + psum("data") + fused closed-form pass."""
         tab_rows = n_tab.shape[0]
-        lid, mask = self._local_lookup_mask(tab_rows, ids_g)
-        lid = jnp.where(mask, lid, tab_rows)  # sentinel -> dropped by scatter
-        return dedup_and_update(n_tab, z_tab, lid, g_g, g2_g, self.params, w_init=w_init)
+        lid, mask = self._local_lookup_mask(tab_rows, ids_flat)
+        lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> drop sentinel
+        sum_g, sum_g2 = scatter_grads(n_tab.shape, lid, g, g2)
+        sum_g = jax.lax.psum(sum_g, "data")
+        sum_g2 = jax.lax.psum(sum_g2, "data")
+        new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_tab, sum_g, sum_g2, self.params)
+        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, self.params), w_tab)
+        return new_n, new_z, new_w
 
     # ---- steps (bodies run per device under shard_map) ----
     def _train_step(self, state: ModelState, batch: Batch):
@@ -152,20 +149,15 @@ class ShardedStep:
 
         ids_flat = batch.feats.reshape(-1)
         g_lin = (gs[:, None] * batch.vals).reshape(-1)
-        lin_n, lin_z = self._scatter_update(
-            state.lin_n, state.lin_z, ids_flat, g_lin, g_lin * g_lin
+        lin_n, lin_z, lin_w = self._table_update(
+            state.lin_n, state.lin_z, state.lin_w, ids_flat, g_lin, g_lin * g_lin
         )
 
-        vec_n, vec_z = state.vec_n, state.vec_z
+        vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if dlogit_dv is not None:
             g_vec = (gs[:, None, None] * dlogit_dv).reshape(-1, dlogit_dv.shape[-1])
-            vec_n, vec_z = self._scatter_update(
-                state.vec_n,
-                state.vec_z,
-                ids_flat,
-                g_vec,
-                g_vec * g_vec,
-                w_init=state.vec_init,
+            vec_n, vec_z, vec_w = self._table_update(
+                state.vec_n, state.vec_z, state.vec_w, ids_flat, g_vec, g_vec * g_vec
             )
 
         new_state = ModelState(
@@ -173,9 +165,10 @@ class ShardedStep:
             bias_z=bias_z,
             lin_n=lin_n,
             lin_z=lin_z,
+            lin_w=lin_w,
             vec_n=vec_n,
             vec_z=vec_z,
-            vec_init=state.vec_init,
+            vec_w=vec_w,
             step=state.step + 1,
         )
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w

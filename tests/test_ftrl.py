@@ -1,4 +1,4 @@
-"""Unit tests for the FTRL core (closed form, accumulate, dedup update)."""
+"""Unit tests for the FTRL core (closed form, accumulate, dense table update)."""
 
 import jax.numpy as jnp
 import numpy as np
@@ -7,7 +7,7 @@ import pytest
 from ftrl_ffm_tpu.ftrl import (
     FtrlParams,
     bias_update,
-    dedup_and_update,
+    dense_ftrl_update,
     ftrl_accumulate,
     ftrl_weights,
 )
@@ -49,16 +49,20 @@ def test_accumulate_formula():
     assert float(nz) == pytest.approx(2.0 + 3.0 - sigma * 0.5, rel=1e-6)
 
 
-def test_dedup_matches_sequential_aggregation():
+def test_dense_update_matches_sequential_aggregation():
     """Duplicate ids in one batch: g and g^2 summed, one closed-form step."""
     r = 6
+    rng_w = np.random.default_rng(3)
     n_tab = jnp.asarray(np.random.default_rng(1).random(r).astype(np.float32))
     z_tab = jnp.asarray(np.random.default_rng(2).standard_normal(r).astype(np.float32))
+    w_tab = jnp.asarray(
+        closed_form(np.asarray(n_tab), np.asarray(z_tab), P.alpha, P.beta, P.l1, P.l2)
+    )
     ids = jnp.array([3, 1, 3, 3, 5, 1, r], dtype=jnp.int32)  # r = sentinel
     g = jnp.array([0.1, -0.2, 0.3, 0.4, 1.0, 0.5, 99.0], dtype=jnp.float32)
     g2 = g * g
 
-    new_n, new_z = dedup_and_update(n_tab, z_tab, ids, g, g2, P)
+    new_n, new_z, new_w = dense_ftrl_update(n_tab, z_tab, w_tab, ids, g, g2, P)
 
     n_np = np.asarray(n_tab).copy()
     z_np = np.asarray(z_tab).copy()
@@ -73,28 +77,46 @@ def test_dedup_matches_sequential_aggregation():
 
     np.testing.assert_allclose(np.asarray(new_n), n_np, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(new_z), z_np, rtol=1e-5)
+    # w refreshed from the updated accumulators wherever n > 0
+    expect_w = closed_form(n_np, z_np, P.alpha, P.beta, P.l1, P.l2)
+    touched = n_np > 0
+    np.testing.assert_allclose(
+        np.asarray(new_w)[touched], expect_w[touched], rtol=1e-5
+    )
 
 
-def test_dedup_sentinel_dropped():
+def test_dense_update_sentinel_dropped():
     n_tab = jnp.zeros(4)
     z_tab = jnp.zeros(4)
+    w_tab = jnp.zeros(4)
     ids = jnp.full((8,), 4, dtype=jnp.int32)  # all padding
     g = jnp.ones(8)
-    new_n, new_z = dedup_and_update(n_tab, z_tab, ids, g, g * g, P)
+    new_n, new_z, new_w = dense_ftrl_update(n_tab, z_tab, w_tab, ids, g, g * g, P)
     assert float(jnp.abs(new_n).sum()) == 0.0
     assert float(jnp.abs(new_z).sum()) == 0.0
+    assert float(jnp.abs(new_w).sum()) == 0.0
 
 
-def test_dedup_vector_rows():
+def test_dense_update_vector_rows_and_keep_init():
     r, d = 5, 3
     n_tab = jnp.zeros((r, d))
     z_tab = jnp.zeros((r, d))
+    w_tab = jnp.full((r, d), 0.07, jnp.float32)  # "random init"
     ids = jnp.array([2, 2, 0], dtype=jnp.int32)
     g = jnp.arange(9, dtype=jnp.float32).reshape(3, d)
-    new_n, new_z = dedup_and_update(n_tab, z_tab, ids, g, g * g, P)
+    new_n, new_z, new_w = dense_ftrl_update(n_tab, z_tab, w_tab, ids, g, g * g, P)
     np.testing.assert_allclose(np.asarray(new_n)[2], [9.0, 17.0, 29.0])  # 0+9, 1+16, 4+25
     np.testing.assert_allclose(np.asarray(new_n)[0], [36.0, 49.0, 64.0])
     assert np.asarray(new_n)[1].sum() == 0
+    # untouched row keeps its init weight ("keep_init" lazy-materialization)
+    np.testing.assert_allclose(np.asarray(new_w)[1], 0.07)
+    # touched rows switch to the closed form
+    expect = closed_form(
+        np.asarray(new_n)[2], np.asarray(new_z)[2], P.alpha, P.beta, P.l1, P.l2
+    )
+    np.testing.assert_allclose(np.asarray(new_w)[2], expect, rtol=1e-6)
+    # g[0] row 2 component 0 is 0 -> but row still touched via other comps
+    assert np.asarray(new_n)[2].min() >= 0
 
 
 def test_bias_update():

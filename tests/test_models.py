@@ -63,7 +63,8 @@ def test_b1_trajectory_matches_oracle(model_type, semantics):
 
     vec_init = None
     if model_type != "LR" and semantics == "keep_init":
-        vec_init = np.asarray(state.vec_init)
+        # the freshly-initialized vec_w table IS the random init
+        vec_init = np.asarray(state.vec_w).copy()
     oracle = Oracle(
         model_type,
         N_FEATS,
