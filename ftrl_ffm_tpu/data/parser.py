@@ -62,6 +62,71 @@ def parse_text(
     max_nnz: int,
     n_feats: int,
     n_fields: int,
+    use_native: bool = True,
+) -> ParsedChunk:
+    """Parse a chunk of libsvm/libffm text into padded arrays.
+
+    Uses the C++ fast path (ftrl_ffm_tpu/native) when available; the
+    vectorized-numpy implementation below is the always-available fallback
+    and numerical ground truth (tests assert both agree)."""
+    if use_native:
+        out = parse_text_native(text, file_type, max_nnz, n_feats, n_fields)
+        if out is not None:
+            return out
+    return parse_text_numpy(text, file_type, max_nnz, n_feats, n_fields)
+
+
+def parse_text_native(
+    text: str | bytes,
+    file_type: str,
+    max_nnz: int,
+    n_feats: int,
+    n_fields: int,
+) -> ParsedChunk | None:
+    """C++ chunk parse; returns None if the native library is unavailable."""
+    from ftrl_ffm_tpu import native
+
+    cdll = native.lib()
+    if cdll is None:
+        return None
+    if file_type not in ("libsvm", "libffm"):
+        raise ValueError(f"unknown file format: {file_type}")
+    stride = 3 if file_type == "libffm" else 2
+    raw = text.encode() if isinstance(text, str) else text
+    cap = raw.count(b"\n") + 1
+
+    import ctypes
+
+    fields = np.zeros((cap, max_nnz), np.int32)
+    feats = np.empty((cap, max_nnz), np.int32)
+    vals = np.zeros((cap, max_nnz), np.float32)
+    y = np.zeros(cap, np.float32)
+    nnz = np.zeros(cap, np.int32)
+    n = cdll.ftrl_parse_chunk(
+        raw,
+        len(raw),
+        stride,
+        max_nnz,
+        n_feats,
+        n_fields,
+        fields.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError("wrong input: malformed libsvm/libffm line")
+    return ParsedChunk(fields[:n], feats[:n], vals[:n], y[:n], nnz[:n])
+
+
+def parse_text_numpy(
+    text: str,
+    file_type: str,
+    max_nnz: int,
+    n_feats: int,
+    n_fields: int,
 ) -> ParsedChunk:
     """Parse a chunk of libsvm/libffm text into padded arrays.
 

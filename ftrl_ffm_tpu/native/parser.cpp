@@ -1,0 +1,177 @@
+// Fast libsvm / libffm chunk parser.
+//
+// TPU-native counterpart of the reference's C++ line parsers
+// (reference: src/data/parser.cpp:11-41 libsvm, :62-103 libffm), re-designed
+// for batch semantics: one pass over a whole text chunk writes directly into
+// padded fixed-shape [cap, max_nnz] arrays ready for device upload.  Called
+// from Python via ctypes with the GIL released, so the host-side thread pool
+// (data/loader.py) gets real parallelism — the equivalent of the reference's
+// byte-range reader tasks (src/data/reader.cpp:50-91).
+//
+// Parity behaviors preserved (see data/parser.py for the full list):
+//   * label binarization y > 0 -> 1       (src/data/parser.cpp:16, :67)
+//   * zero-valued features dropped        (src/data/parser.cpp:37, :99)
+//   * out-of-range field/feat filtering   (src/model/ftrl_model.cpp:36-42)
+//   * padding: feat = n_feats (sentinel), val = 0, field = 0
+//
+// Build: g++ -O3 -shared -fPIC -o libftrlparse.so parser.cpp
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+
+namespace {
+
+inline bool is_space(char c) { return c == ' ' || c == '\t' || c == '\r'; }
+
+// Fast non-negative integer parse; returns -1 if no digits.
+inline long parse_int(const char*& p, const char* end) {
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+    if (p >= end || *p < '0' || *p > '9') return -1;
+    long v = 0;
+    while (p < end && *p >= '0' && *p <= '9') v = v * 10 + (*p++ - '0');
+    return neg ? -v : v;
+}
+
+// Float parse: fast path for plain decimals, strtod fallback for exponents.
+inline double parse_float(const char*& p, const char* end) {
+    const char* start = p;
+    bool neg = false;
+    if (p < end && (*p == '-' || *p == '+')) { neg = (*p == '-'); ++p; }
+    double v = 0.0;
+    bool any = false;
+    while (p < end && *p >= '0' && *p <= '9') { v = v * 10.0 + (*p++ - '0'); any = true; }
+    if (p < end && *p == '.') {
+        ++p;
+        double scale = 0.1;
+        while (p < end && *p >= '0' && *p <= '9') { v += (*p++ - '0') * scale; scale *= 0.1; any = true; }
+    }
+    if (p < end && (*p == 'e' || *p == 'E')) {
+        // rare: defer to strtod for exact exponent handling
+        char buf[64];
+        size_t n = static_cast<size_t>(end - start);
+        if (n > 63) n = 63;
+        std::memcpy(buf, start, n);
+        buf[n] = '\0';
+        char* q = nullptr;
+        double r = std::strtod(buf, &q);
+        p = start + (q - buf);
+        return r;
+    }
+    if (!any) return 0.0;
+    return neg ? -v : v;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Parse `text[0:len)` (newline-separated samples) into padded arrays.
+// stride: 2 = libsvm (feat:val), 3 = libffm (field:feat:val).
+// Returns the number of samples written, or -1 on malformed input.
+int64_t ftrl_parse_chunk(
+    const char* text, int64_t len,
+    int32_t stride, int32_t max_nnz, int32_t n_feats, int32_t n_fields,
+    int32_t* out_fields,   // [cap, max_nnz]
+    int32_t* out_feats,    // [cap, max_nnz]
+    float* out_vals,       // [cap, max_nnz]
+    float* out_y,          // [cap]
+    int32_t* out_nnz,      // [cap] true (pre-truncation) nnz
+    int64_t cap) {
+    const char* p = text;
+    const char* end = text + len;
+    int64_t n = 0;
+
+    while (p < end && n < cap) {
+        // skip blank lines
+        while (p < end && (*p == '\n' || is_space(*p))) ++p;
+        if (p >= end) break;
+
+        const char* line_end = static_cast<const char*>(
+            std::memchr(p, '\n', static_cast<size_t>(end - p)));
+        if (!line_end) line_end = end;
+
+        double label = parse_float(p, line_end);
+        out_y[n] = label > 0.0 ? 1.0f : 0.0f;
+
+        int32_t* f_row = out_fields + n * max_nnz;
+        int32_t* i_row = out_feats + n * max_nnz;
+        float* v_row = out_vals + n * max_nnz;
+        for (int32_t k = 0; k < max_nnz; ++k) {
+            f_row[k] = 0;
+            i_row[k] = n_feats;
+            v_row[k] = 0.0f;
+        }
+
+        int32_t count = 0;
+        while (p < line_end) {
+            while (p < line_end && is_space(*p)) ++p;
+            if (p >= line_end) break;
+
+            long a = parse_int(p, line_end);
+            if (p >= line_end || *p != ':') return -1;  // malformed token
+            ++p;
+            long field, feat;
+            double val;
+            if (stride == 3) {
+                field = a;
+                feat = parse_int(p, line_end);
+                if (p >= line_end || *p != ':') return -1;
+                ++p;
+                val = parse_float(p, line_end);
+            } else {
+                field = 0;  // dummy field (src/data/parser.cpp:29)
+                feat = a;
+                val = parse_float(p, line_end);
+            }
+            if (count < max_nnz) {
+                bool bad = feat < 0 || feat >= n_feats || val == 0.0 ||
+                           field < 0 || field >= n_fields;
+                if (!bad) {
+                    f_row[count] = static_cast<int32_t>(field);
+                    i_row[count] = static_cast<int32_t>(feat);
+                    v_row[count] = static_cast<float>(val);
+                }
+                // bad tokens keep the inert padding triple in their slot,
+                // matching the numpy parser's disable-in-place behavior
+            }
+            ++count;
+        }
+        out_nnz[n] = count;
+        ++n;
+        p = (line_end < end) ? line_end + 1 : end;
+    }
+    return n;
+}
+
+// Count lines and max token count (for sizing) in one cheap pass.
+void ftrl_count_chunk(const char* text, int64_t len, int32_t stride,
+                      int64_t* out_lines, int64_t* out_max_nnz) {
+    int64_t lines = 0, max_nnz = 0, colons = 0;
+    bool in_line = false;
+    for (int64_t i = 0; i < len; ++i) {
+        char c = text[i];
+        if (c == '\n') {
+            if (in_line) {
+                ++lines;
+                int64_t nnz = colons / (stride - 1);
+                if (nnz > max_nnz) max_nnz = nnz;
+            }
+            in_line = false;
+            colons = 0;
+        } else {
+            if (c == ':') ++colons;
+            if (!is_space(c)) in_line = true;
+        }
+    }
+    if (in_line) {
+        ++lines;
+        int64_t nnz = colons / (stride - 1);
+        if (nnz > max_nnz) max_nnz = nnz;
+    }
+    *out_lines = lines;
+    *out_max_nnz = max_nnz;
+}
+
+}  // extern "C"

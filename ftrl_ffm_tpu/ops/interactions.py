@@ -95,25 +95,23 @@ def ffm_logits_and_grads(
     """
     b, f, c, k = v.shape
     assert c == n_fields
+    # Everything below is one-hot contractions (MXU matmuls) — no
+    # take_along_axis / generic gathers, which lower poorly on TPU.
     onehot = jax.nn.one_hot(fields, n_fields, dtype=v.dtype)  # [B, F, C]
     xoh = onehot * vals[..., None]  # [B, F, C]
     # S[b,c,d,k] — bucket rows by their own field, weighted by value.
-    # HIGHEST precision: FTRL parity with the f32 reference is sensitive, and
-    # these contractions are tiny next to the gather/scatter HBM traffic.
-    s = jnp.einsum("bmc,bmdk->bcdk", xoh, v, precision=jax.lax.Precision.HIGHEST)
-    # Self term: x_m^2 * |v_m[field_m]|^2.
-    v_self = jnp.take_along_axis(v, fields[:, :, None, None], axis=2)  # [B,F,1,K]
-    v_self = v_self[:, :, 0, :]  # [B, F, K]
-    self_sq = jnp.sum((v_self * vals[..., None]) ** 2, axis=(1, 2))  # [B]
-    cross = jnp.einsum("bcdk,bdck->b", s, s, precision=jax.lax.Precision.HIGHEST)
+    s = jnp.einsum("bmc,bmdk->bcdk", xoh, v)
+    # Self term: x_m * v[b,m,field_m,k], via one-hot contraction over C.
+    xv_self = jnp.einsum("bmc,bmck->bmk", xoh, v)  # [B, F, K]
+    self_sq = jnp.sum(xv_self * xv_self, axis=(1, 2))  # [B]
+    cross = jnp.einsum("bcdk,bdck->b", s, s)
     logits = lin_logits + 0.5 * (cross - self_sq)
 
     if not compute_grads:
         return logits, None
 
-    # T[b,m,c,k] = S[b, c, field_m, k]
-    s_perm = jnp.transpose(s, (0, 2, 1, 3))  # [B, D, C, K], D indexed by field_m
-    t = jnp.take_along_axis(s_perm, fields[:, :, None, None], axis=1)  # [B,F,C,K]
+    # T[b,m,c,k] = S[b, c, field_m, k] = sum_d onehot[b,m,d] * S[b,c,d,k]
+    t = jnp.einsum("bmd,bcdk->bmck", onehot, s)
     self_corr = onehot[..., None] * vals[..., None, None] * v
     dlogit_dv = vals[..., None, None] * (t - self_corr)
     return logits, dlogit_dv

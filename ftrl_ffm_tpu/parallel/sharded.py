@@ -35,7 +35,7 @@ from ftrl_ffm_tpu.ftrl import (
     ftrl_weights,
     scatter_grads,
 )
-from ftrl_ffm_tpu.models.base import Batch, ModelState, binary_logloss
+from ftrl_ffm_tpu.models.base import Batch, ModelState, TrainOut, binary_logloss
 from ftrl_ffm_tpu.ops.interactions import (
     ffm_logits_and_grads,
     fm_logits_and_grads,
@@ -55,7 +55,7 @@ class ShardedStep:
 
         sspecs = state_pspecs(state)
         bspecs = Batch(*batch_pspecs())
-        train_out_specs = (sspecs, P("data"), P(), P())
+        train_out_specs = TrainOut(sspecs, P("data"), P(), P())
         self.train_step = jax.jit(
             shard_map(
                 self._train_step,
@@ -174,7 +174,7 @@ class ShardedStep:
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         loss_sum = jax.lax.psum(jnp.sum(per_loss), "data")
         count = jax.lax.psum(jnp.sum(batch.sample_w), "data")
-        return new_state, logits, loss_sum, count
+        return TrainOut(new_state, logits, loss_sum, count)
 
     def _eval_step(self, state: ModelState, batch: Batch):
         logits, _ = self._logits_and_grads(state, batch, train=False)

@@ -40,8 +40,31 @@ class Trainer:
         self.model = make_model(cfg)
         self.state = state if state is not None else self.model.init()
 
-        self._train_step = jax.jit(self.model.train_step, donate_argnums=0)
-        self._eval_step = jax.jit(self._eval_with_auc)
+        self._sharded = None
+        use_mesh = cfg.mesh_model > 1 or cfg.mesh_data > 1 or cfg.mesh_data == 0
+        if use_mesh:
+            from ftrl_ffm_tpu.parallel import ShardedStep, make_mesh, shard_state
+
+            mesh = make_mesh(cfg.mesh_data, cfg.mesh_model)
+            if cfg.batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by "
+                    f"mesh_data {mesh.shape['data']}"
+                )
+            self.state = shard_state(self.state, mesh)
+            self._sharded = ShardedStep(cfg, mesh, self.state)
+            self._train_step = self._sharded.train_step
+            self._eval_step = jax.jit(self._eval_with_auc_sharded)
+        else:
+            self._train_step = jax.jit(self.model.train_step, donate_argnums=0)
+            self._eval_step = jax.jit(self._eval_with_auc)
+
+    def _eval_with_auc_sharded(self, state: ModelState, batch: Batch):
+        loss_sum, count, logits = self._sharded.eval_step(state, batch)
+        pos, neg = StreamingAUC.bucket_counts(
+            logits, batch.y, batch.sample_w, AUC_BINS
+        )
+        return loss_sum, count, pos, neg
 
     def _eval_with_auc(self, state: ModelState, batch: Batch):
         loss_sum, count, logits = self.model.eval_step(state, batch)
@@ -52,6 +75,8 @@ class Trainer:
 
     # ---- batch plumbing ----
     def _device_batch(self, arrays) -> Batch:
+        if self._sharded is not None:
+            return self._sharded.place_batch(arrays)
         fields, feats, vals, y, sample_w = arrays
         return Batch(
             fields=jnp.asarray(fields),

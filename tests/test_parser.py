@@ -84,3 +84,49 @@ def test_sniff_max_nnz(tmp_path):
     assert sniff_max_nnz(str(p), "libffm") == 3
     p.write_text(LIBSVM)
     assert sniff_max_nnz(str(p), "libsvm") == 3
+
+
+# ---------------------------------------------------------------- native path
+def test_native_parser_matches_numpy():
+    """C++ fast path == numpy ground truth on mixed/quirky input."""
+    from ftrl_ffm_tpu.data.parser import parse_text_native, parse_text_numpy
+
+    text = (
+        "1 0:12:1 1:507:0.25 2:9:1.5\n"
+        "0 0:3:1 0:3:2 1:99999:1\n"          # out-of-range feat disabled
+        "-1 2:5:0 1:4:-2.5\n"                 # label<=0 -> 0; zero val dropped
+        "3 0:1:1e-2 1:2:0.0001 2:3:123.456\n"  # exponents + decimals
+        "\n"
+        "1 5:7:1 0:8:1\n"                     # out-of-range field disabled
+    )
+    nat = parse_text_native(text, "libffm", 4, 1000, 3)
+    assert nat is not None, "native parser failed to build/load"
+    ref = parse_text_numpy(text, "libffm", 4, 1000, 3)
+    np.testing.assert_array_equal(nat.y, ref.y)
+    np.testing.assert_array_equal(nat.fields, ref.fields)
+    np.testing.assert_array_equal(nat.feats, ref.feats)
+    np.testing.assert_allclose(nat.vals, ref.vals, rtol=1e-6)
+    np.testing.assert_array_equal(nat.nnz, ref.nnz)
+
+
+def test_native_parser_matches_numpy_libsvm():
+    from ftrl_ffm_tpu.data.parser import parse_text_native, parse_text_numpy
+
+    text = "1 12:1 507:0.25 9:1.5\n0 3:1 99999:1\n1 4:0.125\n"
+    nat = parse_text_native(text, "libsvm", 3, 1000, 1)
+    assert nat is not None
+    ref = parse_text_numpy(text, "libsvm", 3, 1000, 1)
+    np.testing.assert_array_equal(nat.feats, ref.feats)
+    np.testing.assert_allclose(nat.vals, ref.vals, rtol=1e-6)
+    np.testing.assert_array_equal(nat.y, ref.y)
+
+
+def test_native_parser_truncation():
+    from ftrl_ffm_tpu.data.parser import parse_text_native, parse_text_numpy
+
+    text = "1 0:1:1 1:2:1 2:3:1 0:4:1 1:5:1\n"
+    nat = parse_text_native(text, "libffm", 3, 1000, 3)
+    assert nat is not None
+    ref = parse_text_numpy(text, "libffm", 3, 1000, 3)
+    np.testing.assert_array_equal(nat.feats, ref.feats)
+    assert nat.nnz[0] == 5  # true nnz preserved pre-truncation

@@ -113,3 +113,33 @@ def test_sharded_eval_matches(model_type):
     np.testing.assert_allclose(
         np.asarray(slogits), np.asarray(logits), rtol=1e-5, atol=1e-6
     )
+
+
+def test_trainer_with_mesh_matches_single_device(tmp_path):
+    """End-to-end Trainer parity: (4 data x 2 model) mesh vs single device."""
+    import copy
+    from ftrl_ffm_tpu.train import Trainer
+
+    # small synthetic libffm file
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(256):
+        toks = [str(int(rng.random() > 0.5))] + [
+            f"{c}:{int(rng.integers(0, 50))}:1" for c in range(4)
+        ]
+        lines.append(" ".join(toks))
+    path = str(tmp_path / "train.ffm")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    kw = dict(
+        train_data=path, eval_data=path, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=64, n_epochs=1, online=True,
+    )
+    t1 = Trainer(Config(**kw))
+    h1 = t1.train()
+    t2 = Trainer(Config(**kw, mesh_data=4, mesh_model=2))
+    h2 = t2.train()
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(h1["eval_loss"], h2["eval_loss"], rtol=1e-5)
+    np.testing.assert_allclose(h1["eval_auc"], h2["eval_auc"], rtol=1e-4)
