@@ -16,6 +16,7 @@ supported by passing a file object.
 
 from __future__ import annotations
 
+import concurrent.futures as cf
 import queue
 import threading
 from typing import IO, Iterator, Optional
@@ -41,6 +42,7 @@ class StreamReader:
         chunk_lines: int = CHUNK_LINES,
         prefetch: int = 4,
         log_every: int = 1_000_000,  # reference: pc_task.h:35 (log_num)
+        n_parse_threads: int = 3,
     ):
         self.path_or_file = path_or_file
         self.file_type = file_type
@@ -51,6 +53,11 @@ class StreamReader:
         self.chunk_lines = chunk_lines
         self.prefetch = prefetch
         self.log_every = log_every
+        # The C++ chunk parser releases the GIL, so a small thread pool gives
+        # real parse parallelism — the reference's N consumer threads
+        # (src/concurrent/pc_task.cpp:57-80) reborn as a parse pool feeding
+        # one device stream.
+        self.n_parse_threads = max(1, n_parse_threads)
 
     def _open(self) -> IO[str]:
         if isinstance(self.path_or_file, str):
@@ -59,8 +66,17 @@ class StreamReader:
 
     def batches(self) -> Iterator[tuple]:
         """One epoch of (fields, feats, vals, y, sample_w) batches."""
+        # Producer thread reads line chunks and submits them to a parse pool;
+        # chunk futures are queued in order so batch order == file order (the
+        # reference's "each example seen once per epoch, in stream order").
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err: list[BaseException] = []
+        pool = cf.ThreadPoolExecutor(max_workers=self.n_parse_threads)
+
+        def parse(lines):
+            return parse_lines(
+                lines, self.file_type, self.max_nnz, self.n_feats, self.n_fields
+            )
 
         def produce():
             try:
@@ -72,29 +88,13 @@ class StreamReader:
                         continue
                     lines.append(ln)
                     if len(lines) >= self.chunk_lines:
-                        q.put(
-                            parse_lines(
-                                lines,
-                                self.file_type,
-                                self.max_nnz,
-                                self.n_feats,
-                                self.n_fields,
-                            )
-                        )
+                        q.put(pool.submit(parse, lines))
                         seen += len(lines)
                         if self.log_every and seen % self.log_every == 0:
                             print(f"processing {seen} examples")
                         lines = []
                 if lines:
-                    q.put(
-                        parse_lines(
-                            lines,
-                            self.file_type,
-                            self.max_nnz,
-                            self.n_feats,
-                            self.n_fields,
-                        )
-                    )
+                    q.put(pool.submit(parse, lines))
                 if isinstance(self.path_or_file, str):
                     fh.close()
             except BaseException as e:  # surfaced to the consumer
@@ -107,9 +107,10 @@ class StreamReader:
 
         carry: Optional[tuple] = None  # leftover rows from previous chunk
         while True:
-            chunk = q.get()
-            if chunk is None:
+            fut = q.get()
+            if fut is None:
                 break
+            chunk = fut.result()
             arrays = (chunk.fields, chunk.feats, chunk.vals, chunk.y)
             if carry is not None:
                 arrays = tuple(
@@ -122,6 +123,7 @@ class StreamReader:
                 yield fields, feats, vals, y, np.ones(self.batch_size, np.float32)
             carry = tuple(a[full:] for a in arrays) if full < n else None
         t.join()
+        pool.shutdown(wait=False)
         if err:
             raise err[0]
         if carry is not None and carry[3].shape[0]:

@@ -26,9 +26,13 @@ class FFM(Model):
         w = self._gather_linear(state, batch.feats)
         lin = linear_logits(w, batch.vals, self.bias_weight(state))
         v = self._gather_vec(state, batch.feats)  # [B, F, C*K]
-        b, f, _ = v.shape
-        v = v.reshape(b, f, self.n_fields, self.n_factors)
         logits, dlogit_dv = ffm_logits_and_grads(
-            v, batch.fields, batch.vals, lin, self.n_fields, compute_grads=train
+            v,
+            batch.fields,
+            batch.vals,
+            lin,
+            self.n_fields,
+            self.n_factors,
+            compute_grads=train,
         )
         return logits, dlogit_dv

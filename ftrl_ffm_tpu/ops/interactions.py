@@ -62,6 +62,7 @@ def ffm_logits_and_grads(
     vals: jax.Array,
     lin_logits: jax.Array,
     n_fields: int,
+    n_factors: int,
     compute_grads: bool = True,
 ) -> tuple[jax.Array, jax.Array | None]:
     """FFM field-aware pairwise logit and per-occurrence grads, batched.
@@ -80,38 +81,52 @@ def ffm_logits_and_grads(
         dlogit/dv[b,m,c,k] = x_m * ( S[b, c, field_m, k]
                                      - [c == field_m] * x_m * v[b,m,c,k] )
 
+    TPU layout strategy: every big tensor keeps the fused row width E = C*K
+    as its minor dimension (E is lane-aligned-ish at 624 for C=39, K=16; a
+    bare K=16 minor would waste 7/8 of each 128-lane vector tile).  The
+    one-hot selections over the field axis are expressed as MXU contractions
+    and *elementwise* one-hot masks — no take_along_axis / generic gathers,
+    which lower poorly on TPU.
+
     Args:
-      v:      [B, F, C, K] gathered factor rows (full field-major rows).
+      v:      [B, F, E] gathered factor rows, E = n_fields * n_factors, the
+              slot for (field d, factor k) at d * n_factors + k — the same
+              row-major layout as the reference (src/model/ffm.cpp:63-65).
       fields: [B, F] int32 field index per occurrence (0 for padding — padding
               is inert because its value is 0).
       vals:   [B, F] values.
       lin_logits: [B].
-      n_fields: C (static).
+      n_fields: C (static).  n_factors: K (static).
       compute_grads: skip the gradient tensor for predict-only paths.
 
     Returns:
       logits: [B]
-      dlogit_dv: [B, F, C, K] or None
+      dlogit_dv: [B, F, E] or None
     """
-    b, f, c, k = v.shape
-    assert c == n_fields
-    # Everything below is one-hot contractions (MXU matmuls) — no
-    # take_along_axis / generic gathers, which lower poorly on TPU.
-    onehot = jax.nn.one_hot(fields, n_fields, dtype=v.dtype)  # [B, F, C]
+    b, f, e = v.shape
+    c, k = n_fields, n_factors
+    assert e == c * k
+    onehot = jax.nn.one_hot(fields, c, dtype=v.dtype)  # [B, F, C]
     xoh = onehot * vals[..., None]  # [B, F, C]
-    # S[b,c,d,k] — bucket rows by their own field, weighted by value.
-    s = jnp.einsum("bmc,bmdk->bcdk", xoh, v)
-    # Self term: x_m * v[b,m,field_m,k], via one-hot contraction over C.
-    xv_self = jnp.einsum("bmc,bmck->bmk", xoh, v)  # [B, F, K]
-    self_sq = jnp.sum(xv_self * xv_self, axis=(1, 2))  # [B]
-    cross = jnp.einsum("bcdk,bdck->b", s, s)
+    # S[b, c, (d,k)] — bucket rows by their own field, weighted by value.
+    # One batched matmul contracting the occurrence axis; minor dim stays E.
+    s = jnp.einsum("bmc,bme->bce", xoh, v)  # [B, C, E]
+    # Block transpose (c, (d,k)) -> (d, (c,k)): the only layout shuffle.
+    s_t = (
+        s.reshape(b, c, c, k).transpose(0, 2, 1, 3).reshape(b, c, e)
+    )  # s_t[b, d, (c,k)] = s[b, c, (d,k)]
+    # cross = sum_{c,d,k} S[b,c,d,k] * S[b,d,c,k]: elementwise in one layout.
+    cross = jnp.sum(s * s_t, axis=(1, 2))  # [B]
+    # Self term: one-hot makes (sum_d oh_d * v[d,k])^2 == sum_d oh_d * v^2.
+    oh_e = jnp.repeat(onehot, k, axis=-1)  # [B, F, E] mask of own-field slots
+    xv = v * vals[..., None]
+    self_sq = jnp.sum(oh_e * xv * xv, axis=(1, 2))  # [B]
     logits = lin_logits + 0.5 * (cross - self_sq)
 
     if not compute_grads:
         return logits, None
 
-    # T[b,m,c,k] = S[b, c, field_m, k] = sum_d onehot[b,m,d] * S[b,c,d,k]
-    t = jnp.einsum("bmd,bcdk->bmck", onehot, s)
-    self_corr = onehot[..., None] * vals[..., None, None] * v
-    dlogit_dv = vals[..., None, None] * (t - self_corr)
+    # T[b, m, (c,k)] = S[b, c, field_m, k] = sum_d onehot[b,m,d] * s_t[b,d,(c,k)]
+    t = jnp.einsum("bmd,bde->bme", onehot, s_t)  # [B, F, E]
+    dlogit_dv = vals[..., None] * (t - oh_e * xv)
     return logits, dlogit_dv

@@ -112,13 +112,15 @@ class ShardedStep:
         if cfg.model_type == "FM":
             logits, dv = fm_logits_and_grads(v, batch.vals, lin)
             return logits, (dv if train else None)
-        b, f, _ = v.shape
-        v = v.reshape(b, f, cfg.n_fields, cfg.n_factors)
         logits, dv = ffm_logits_and_grads(
-            v, batch.fields, batch.vals, lin, cfg.n_fields, compute_grads=train
+            v,
+            batch.fields,
+            batch.vals,
+            lin,
+            cfg.n_fields,
+            cfg.n_factors,
+            compute_grads=train,
         )
-        if dv is not None:
-            dv = dv.reshape(b, f, cfg.n_fields * cfg.n_factors)
         return logits, dv
 
     def _table_update(self, n_tab, z_tab, w_tab, ids_flat, g, g2):

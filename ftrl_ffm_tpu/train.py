@@ -74,6 +74,37 @@ class Trainer:
         return loss_sum, count, pos, neg
 
     # ---- batch plumbing ----
+    def _device_feed(self, arrays_iter):
+        """Background-thread device upload: host->HBM transfers overlap the
+        previous step's compute (the device-feed analogue of the reference's
+        producer thread staying ahead of its consumers,
+        src/concurrent/pc_task.cpp:34-55)."""
+        import queue as _queue
+        import threading as _threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+        err: list[BaseException] = []
+
+        def upload():
+            try:
+                for arrays in arrays_iter:
+                    q.put(self._device_batch(arrays))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = _threading.Thread(target=upload, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is None:
+                break
+            yield b
+        t.join()
+        if err:
+            raise err[0]
+
     def _device_batch(self, arrays) -> Batch:
         if self._sharded is not None:
             return self._sharded.place_batch(arrays)
@@ -148,24 +179,35 @@ class Trainer:
         if epoch_rng is None:
             epoch_rng = np.random.default_rng(self.cfg.seed)
         sums = []
-        for arrays in self._train_batches(epoch_rng):
-            out = self._train_step(self.state, self._device_batch(arrays))
+        for batch in self._device_feed(self._train_batches(epoch_rng)):
+            out = self._train_step(self.state, batch)
             self.state = out.state
             sums.append((out.loss_sum, out.count))
+        if not sums:
+            return float("nan")
+        # One device-side reduction + a single host readback: per-batch
+        # float() readbacks serialize against the dispatch queue.
+        loss_sum = jnp.sum(jnp.stack([s for s, _ in sums]))
+        count = jnp.sum(jnp.stack([c for _, c in sums]))
         acc = LossAccumulator()
-        for s, c in sums:  # reduce lazily; keeps step dispatch async
-            acc.update(s, c)
+        acc.update(*jax.device_get((loss_sum, count)))
         return acc.mean
 
     def evaluate(self) -> tuple[float, float]:
         acc = LossAccumulator()
         auc = StreamingAUC(AUC_BINS)
         results = []
-        for arrays in self._eval_batches():
-            results.append(self._eval_step(self.state, self._device_batch(arrays)))
-        for loss_sum, count, pos, neg in results:
-            acc.update(loss_sum, count)
-            auc.update(pos, neg)
+        for batch in self._device_feed(self._eval_batches()):
+            results.append(self._eval_step(self.state, batch))
+        if not results:
+            return float("nan"), float("nan")
+        loss_sum = jnp.sum(jnp.stack([r[0] for r in results]))
+        count = jnp.sum(jnp.stack([r[1] for r in results]))
+        pos = jnp.sum(jnp.stack([r[2] for r in results]), axis=0)
+        neg = jnp.sum(jnp.stack([r[3] for r in results]), axis=0)
+        loss_sum, count, pos, neg = jax.device_get((loss_sum, count, pos, neg))
+        acc.update(loss_sum, count)
+        auc.update(pos, neg)
         return acc.mean, auc.result()
 
     def train(self) -> dict:

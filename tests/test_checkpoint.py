@@ -1,0 +1,149 @@
+"""Serialization tests: full checkpoints, reference-compatible blobs, CLI."""
+
+import numpy as np
+import pytest
+
+from ftrl_ffm_tpu.config import Config
+from ftrl_ffm_tpu.io.checkpoint import (
+    export_reference_model,
+    export_reference_text_model,
+    import_reference_model,
+    import_reference_text_model,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ftrl_ffm_tpu.models import make_model
+from tests.test_models import make_batch, random_samples
+
+N_FEATS, N_FIELDS, K = 50, 4, 3
+
+
+def _trained_state(model_type="FFM", steps=5):
+    cfg = Config(
+        model_type=model_type, n_feats=N_FEATS, n_fields=N_FIELDS, n_factors=K
+    )
+    model = make_model(cfg)
+    state = model.init()
+    rng = np.random.default_rng(0)
+    for _ in range(steps):
+        batch = make_batch(random_samples(rng, 8), 6, N_FEATS, batch_size=8)
+        state = model.train_step(state, batch).state
+    return model, state
+
+
+def test_full_checkpoint_roundtrip(tmp_path):
+    model, state = _trained_state("FFM")
+    path = str(tmp_path / "ckpt.zst")
+    save_checkpoint(path, state, extra={"note": "hi"})
+    loaded, extra = load_checkpoint(path)
+    assert extra == {"note": "hi"}
+    for a, b in zip(state, loaded):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_resume_training_is_exact(tmp_path):
+    """Full (n, z, w) state means resume == uninterrupted training — the
+    capability the reference lacks (it saves weights only, SURVEY §5)."""
+    cfg = Config(model_type="FM", n_feats=N_FEATS, n_fields=N_FIELDS, n_factors=K)
+    model = make_model(cfg)
+    rng = np.random.default_rng(1)
+    batches = [
+        make_batch(random_samples(rng, 8), 6, N_FEATS, batch_size=8)
+        for _ in range(6)
+    ]
+    s = model.init()
+    for b in batches[:3]:
+        s = model.train_step(s, b).state
+    path = str(tmp_path / "mid.zst")
+    save_checkpoint(path, s)
+    s_resume, _ = load_checkpoint(path)
+    for b in batches[3:]:
+        s = model.train_step(s, b).state
+        s_resume = model.train_step(s_resume, b).state
+    np.testing.assert_array_equal(np.asarray(s.lin_z), np.asarray(s_resume.lin_z))
+    np.testing.assert_array_equal(np.asarray(s.vec_z), np.asarray(s_resume.vec_z))
+
+
+def test_lr_checkpoint_roundtrip(tmp_path):
+    model, state = _trained_state("LR")
+    path = str(tmp_path / "lr.zst")
+    save_checkpoint(path, state)
+    loaded, _ = load_checkpoint(path)
+    assert loaded.vec_n is None and loaded.vec_w is None
+    np.testing.assert_array_equal(np.asarray(state.lin_z), np.asarray(loaded.lin_z))
+
+
+def test_reference_blob_roundtrip(tmp_path):
+    """zstd [bias, lin_w..., vec_w...] blob — byte layout of the reference's
+    compress_weights (src/compression/compress.cpp:15-27,
+    src/model/ffm.cpp:138-159)."""
+    model, state = _trained_state("FFM")
+    bias, lin_w, vec_w = model.materialize_weights(state)
+    path = str(tmp_path / "model.zst")
+    export_reference_model(path, float(bias), lin_w, vec_w)
+    b2, l2, v2 = import_reference_model(path, N_FEATS, N_FIELDS * K)
+    assert b2 == pytest.approx(float(bias), abs=1e-7)
+    np.testing.assert_allclose(np.asarray(lin_w), l2, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(vec_w).reshape(N_FEATS, -1), v2, rtol=1e-6
+    )
+
+
+def test_reference_text_roundtrip(tmp_path):
+    """FFM plain-text layout (src/model/ffm.cpp:161-200)."""
+    model, state = _trained_state("FFM")
+    bias, lin_w, vec_w = model.materialize_weights(state)
+    path = str(tmp_path / "model.txt")
+    export_reference_text_model(path, float(bias), lin_w, vec_w)
+    b2, l2, v2 = import_reference_text_model(path, N_FEATS, N_FIELDS * K)
+    assert b2 == pytest.approx(float(bias), abs=1e-6)
+    np.testing.assert_allclose(np.asarray(lin_w), l2, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(vec_w), v2, rtol=1e-5, atol=1e-7)
+
+
+# ----------------------------------------------------------------------- CLI
+def _write_ffm_file(path, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(n):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, N_FEATS))}:1" for c in range(N_FIELDS)
+            ]
+            f.write(" ".join(toks) + "\n")
+
+
+def test_cli_end_to_end_with_checkpoint(tmp_path, capsys):
+    from ftrl_ffm_tpu.cli import main
+
+    data = str(tmp_path / "train.ffm")
+    _write_ffm_file(data)
+    ckpt = str(tmp_path / "model.ckpt")
+    ref = str(tmp_path / "model.zst")
+    rc = main([
+        "--train_data", data, "--eval_data", data,
+        "--model_type", "FFM", "--n_fields", str(N_FIELDS),
+        "--n_feats", str(N_FEATS), "--n_factors", str(K),
+        "--n_epochs", "2", "--batch_size", "32",
+        "--model_path", ckpt, "--export_reference_model", ref,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "epoch 1 train time" in out and "eval loss" in out
+    state, extra = load_checkpoint(ckpt)
+    assert int(state.step) == 4  # 64 samples / 32 batch * 2 epochs
+    assert extra["config"]["model_type"] == "FFM"
+    b2, l2, v2 = import_reference_model(ref, N_FEATS, N_FIELDS * K)
+    assert l2.shape == (N_FEATS,)
+
+    # resume from the checkpoint
+    rc = main([
+        "--train_data", data, "--model_type", "FFM",
+        "--n_fields", str(N_FIELDS), "--n_feats", str(N_FEATS),
+        "--n_factors", str(K), "--batch_size", "32",
+        "--load_model", ckpt,
+    ])
+    assert rc == 0
+    assert "resumed" in capsys.readouterr().out
