@@ -47,6 +47,7 @@ class Config:
     #     factors actually train (alphaFM-style).  Strictly better log-loss.
     factor_semantics: str = "keep_init"
     compute_dtype: str = "float32"   # logit compute dtype ("float32"|"bfloat16")
+    use_pallas: str = "auto"         # "auto" (TPU only) | "on" | "off"
     # mesh: data-parallel x model-parallel(row-sharded tables)
     mesh_data: int = 1
     mesh_model: int = 1

@@ -95,6 +95,9 @@ def scatter_grads(
     last row) are dropped.  Duplicate ids accumulate — the deterministic
     replacement for the reference's mutex-serialized read-modify-write
     (src/model/ftrl_model.cpp:66-77).
+
+    (Measured on TPU: two independent scatters beat one concatenated-column
+    scatter — the concat materializes an extra [N, 2D] tensor.)
     """
     zeros = jnp.zeros(shape, dtype=g.dtype)
     sum_g = zeros.at[ids].add(g, mode="drop")

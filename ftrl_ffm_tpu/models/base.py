@@ -152,11 +152,24 @@ class Model:
     def predict_proba(self, state: ModelState, batch: Batch) -> jax.Array:
         return jax.nn.sigmoid(self.predict_logits(state, batch))
 
+    def _train_logits_gvec(self, state: ModelState, batch: Batch):
+        """(logits, g_vec) for one train step; g_vec [B, F, D] is the factor
+        gradient already scaled by gs = (sigmoid(logit) - y) * sample_w, or
+        None for LR.  Subclasses may fuse this (FFM Pallas kernel)."""
+        logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
+        if dlogit_dv is None:
+            return logits, None
+        gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
+        g_vec = gs[:, None, None] * dlogit_dv.reshape(
+            dlogit_dv.shape[0], dlogit_dv.shape[1], -1
+        )
+        return logits, g_vec
+
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
         p = self.params
-        logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
+        logits, g_vec = self._train_logits_gvec(state, batch)
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 
@@ -169,11 +182,8 @@ class Model:
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
-        if dlogit_dv is not None:
-            g_vec = (
-                gs[:, None, None]
-                * dlogit_dv.reshape(dlogit_dv.shape[0], dlogit_dv.shape[1], -1)
-            ).reshape(-1, state.vec_w.shape[-1])  # [B*F, D]
+        if g_vec is not None:
+            g_vec = g_vec.reshape(-1, state.vec_w.shape[-1])  # [B*F, D]
             vec_n, vec_z, vec_w = dense_ftrl_update(
                 state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g_vec * g_vec, p
             )
@@ -205,10 +215,18 @@ class Model:
         return jnp.sum(per_loss), jnp.sum(batch.sample_w), logits
 
     # ---- export (reference weight-layout materialization) ----
+    def _export_vec_layout(self, vec_w):
+        """Hook: convert the internal factor-row layout to the reference's
+        (FFM rows are stored factor-major internally, see ops/layout.py)."""
+        return vec_w
+
     def materialize_weights(self, state: ModelState):
         """Dense (bias, lin_w[, vec_w]) in the reference's save layout
         (reference: src/model/ffm.cpp:138-147).  w tables are stored, so this
         is a read-out; untouched factor rows hold the init under keep_init
         semantics (zero under reference semantics), untouched linear rows 0.
         """
-        return self.bias_weight(state), state.lin_w, state.vec_w
+        vec_w = state.vec_w
+        if vec_w is not None:
+            vec_w = self._export_vec_layout(vec_w)
+        return self.bias_weight(state), state.lin_w, vec_w

@@ -12,6 +12,8 @@ typo we deliberately do NOT reproduce.
 
 from __future__ import annotations
 
+import jax
+
 from ftrl_ffm_tpu.models.base import Batch, Model, ModelState
 from ftrl_ffm_tpu.ops.interactions import ffm_logits_and_grads, linear_logits
 
@@ -21,6 +23,43 @@ class FFM(Model):
         super().__init__(cfg)
         self.n_fields = cfg.n_fields
         self.n_factors = cfg.n_factors
+
+    def _export_vec_layout(self, vec_w):
+        from ftrl_ffm_tpu.ops.layout import kmajor_to_reference
+
+        return kmajor_to_reference(vec_w, self.n_fields, self.n_factors)
+
+    def _use_pallas(self) -> bool:
+        mode = self.cfg.use_pallas
+        if mode == "on":
+            return True
+        if mode == "off":
+            return False
+        return jax.default_backend() == "tpu"
+
+    def _train_logits_gvec(self, state: ModelState, batch: Batch):
+        """Fused Pallas path on TPU: one VMEM pass computes logits and the
+        gs-scaled factor grads — no [B, F, C*K] HBM intermediates."""
+        b = batch.feats.shape[0]
+        if not self._use_pallas() or b % 8:
+            return super()._train_logits_gvec(state, batch)
+        from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
+
+        w = self._gather_linear(state, batch.feats)
+        lin = linear_logits(w, batch.vals, self.bias_weight(state))
+        v = self._gather_vec(state, batch.feats)  # [B, F, C*K]
+        logits, g_vec = ffm_fused_logits_grads(
+            v,
+            batch.fields,
+            batch.vals,
+            lin,
+            batch.y,
+            batch.sample_w,
+            self.n_fields,
+            self.n_factors,
+            compute_grads=True,
+        )
+        return logits, g_vec
 
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         w = self._gather_linear(state, batch.feats)

@@ -1,0 +1,176 @@
+"""Fused Pallas TPU kernel for the FFM interaction: logits + grads in one pass.
+
+The XLA formulation (ops/interactions.py::ffm_logits_and_grads) materializes
+several [B, F, C*K] HBM intermediates (s_t, t, oh_e masks, dlogit_dv) around
+the MXU contractions.  This kernel keeps everything per batch-tile in VMEM:
+one read of the gathered factor rows v, one write of the per-occurrence
+gradient g — HBM traffic collapses to the unavoidable in/out tensors.
+
+Math (identical to the XLA path; reference: src/model/ffm.cpp:57-70 logit,
+:107-123 grads).  The factor tables are stored **factor-major** (slot
+(k, c) = k*C + c, see ops/layout.py) precisely so that the per-factor slice
+v[:, :, k*C:(k+1)*C] is a contiguous lane range — Mosaic supports contiguous
+lane slicing but not minor-dim-splitting reshapes.  Per factor k:
+
+    s_k[c, d]  = sum_m xoh[m, c] * v_k[m, d]          (MXU)
+    cross_k    = trace(s_k @ s_k)                      (MXU, no transpose)
+    self_k     = sum_{m,c} onehot[m,c] * (x_m v_k[m,c])^2
+    T_k[m, c]  = sum_d onehot[m, d] * s_k[c, d]        (MXU)
+    g_k[m, c]  = gs_m * x_m * (T_k[m,c] - onehot[m,c] * x_m * v_k[m,c])
+
+    logit      = lin + 0.5 * sum_k (cross_k - self_k)
+    gs         = (sigmoid(logit) - y) * sample_w
+
+Grid: 1-D over batch tiles; each [TB, F, E] block of v streams through VMEM
+(Pallas double-buffers block in/out automatically); s_k slabs live in a VMEM
+scratch across the two per-k loops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ffm_fused_kernel(
+    fields_ref,  # [TB, F] int32
+    vals_ref,    # [TB, F] f32
+    lin_ref,     # [TB, 1] f32 (bias + linear logits)
+    y_ref,       # [TB, 1] f32
+    sw_ref,      # [TB, 1] f32
+    v_ref,       # [TB, F, E] f32, E = K*C factor-major
+    logits_ref,  # out [TB, 1] f32
+    g_ref,       # out [TB, F, E] f32
+    *,
+    n_fields: int,
+    n_factors: int,
+    compute_grads: bool,
+):
+    c, k = n_fields, n_factors
+    tb, f, e = v_ref.shape
+
+    v = v_ref[:]                      # [TB, F, E]
+    vals = vals_ref[:]                # [TB, F]
+    field_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, f, c), 2)
+    onehot = (fields_ref[:][:, :, None] == field_ids).astype(jnp.float32)
+    xoh = onehot * vals[:, :, None]   # [TB, F, C]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    ).astype(jnp.float32)
+
+    # s[b, c_bucket, (k,d)] — ONE batched matmul over the full row width.
+    s = jax.lax.dot_general(
+        xoh, v,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                  # [TB, C, E]
+
+    # self term across all k at once (slot (k,c) has field c = slot mod C)
+    slot_field = jax.lax.broadcasted_iota(jnp.int32, (tb, f, e), 2) % c
+    oh_e = (fields_ref[:][:, :, None] == slot_field).astype(jnp.float32)
+    xv = v * vals[:, :, None]
+    self_sq = jnp.sum(
+        jnp.sum(oh_e * xv * xv, axis=2), axis=1, keepdims=True
+    )                                  # [TB, 1]
+
+    # cross = sum_k trace(s_k @ s_k); per-k slices are contiguous lanes.
+    # (per-sample accumulators stay rank-2 [TB, 1]: Mosaic wants >= 2D)
+    cross = jnp.zeros((tb, 1), jnp.float32)
+    for kk in range(k):
+        sk = s[:, :, kk * c : (kk + 1) * c]             # [TB, C, C]
+        pk = jax.lax.dot_general(
+            sk, sk,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        cross = cross + jnp.sum(
+            jnp.sum(pk * eye[None], axis=2), axis=1, keepdims=True
+        )
+
+    logits = lin_ref[:] + 0.5 * (cross - self_sq)       # [TB, 1]
+    logits_ref[:] = logits
+
+    if compute_grads:
+        gs = (jax.nn.sigmoid(logits) - y_ref[:]) * sw_ref[:]   # [TB, 1]
+        gx = gs * vals                                   # [TB, F]
+        for kk in range(k):
+            sk = s[:, :, kk * c : (kk + 1) * c]          # [TB, C, C]
+            vk = v[:, :, kk * c : (kk + 1) * c]
+            # T_k[b, m, c] = sum_d onehot[b,m,d] * s_k[b,c,d]  (A @ B^T form)
+            tk = jax.lax.dot_general(
+                onehot, sk,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )                                            # [TB, F, C]
+            g_ref[:, :, kk * c : (kk + 1) * c] = gx[:, :, None] * (
+                tk - onehot * vals[:, :, None] * vk
+            )
+    else:
+        g_ref[:] = jnp.zeros_like(g_ref)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fields", "n_factors", "compute_grads", "block_b", "interpret"),
+)
+def ffm_fused_logits_grads(
+    v: jax.Array,        # [B, F, E] gathered factor rows (factor-major)
+    fields: jax.Array,   # [B, F] int32
+    vals: jax.Array,     # [B, F] f32
+    lin: jax.Array,      # [B] bias + linear logits
+    y: jax.Array,        # [B] labels (ignored when compute_grads=False)
+    sample_w: jax.Array, # [B]
+    n_fields: int,
+    n_factors: int,
+    compute_grads: bool = True,
+    block_b: int = 0,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused FFM logits + per-occurrence grads.
+
+    Returns (logits [B], g [B, F, E]) where g is already scaled by
+    gs = (sigmoid(logit) - y) * sample_w — ready for the FTRL scatter.
+    """
+    b, f, e = v.shape
+    c = n_fields
+    if block_b <= 0:
+        # VMEM: v in + g out (double-buffered) ~ 4*TB*F*E*4 bytes, plus the
+        # [K, TB, C, C] scratch; keep the streaming buffers under ~8 MB.
+        block_b = 128
+        while block_b > 8 and (b % block_b or 4 * block_b * f * e * 4 > 8 << 20):
+            block_b //= 2
+    if b % block_b:
+        raise ValueError(f"batch {b} not divisible by block_b {block_b}")
+    grid = (b // block_b,)
+
+    kernel = functools.partial(
+        _ffm_fused_kernel,
+        n_fields=n_fields,
+        n_factors=n_factors,
+        compute_grads=compute_grads,
+    )
+    row_spec = pl.BlockSpec((block_b, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # per-sample scalars ride as [B, 1] — rank-1 VMEM blocks must be
+    # 128-multiples on TPU, rank-2 (TB, 1) blocks are fine
+    scalar_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec(
+        (block_b, f, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    col = lambda x: x.reshape(b, 1)
+    logits, g = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[row_spec, row_spec, scalar_spec, scalar_spec, scalar_spec, v_spec],
+        out_specs=[scalar_spec, v_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, f, e), jnp.float32),
+        ],
+        interpret=interpret,
+    )(fields, vals, col(lin), col(y), col(sample_w), v)
+    return logits[:, 0], g

@@ -89,9 +89,10 @@ def ffm_logits_and_grads(
     which lower poorly on TPU.
 
     Args:
-      v:      [B, F, E] gathered factor rows, E = n_fields * n_factors, the
-              slot for (field d, factor k) at d * n_factors + k — the same
-              row-major layout as the reference (src/model/ffm.cpp:63-65).
+      v:      [B, F, E] gathered factor rows, E = n_fields * n_factors, in
+              the framework's **factor-major** slot layout (k, c) ->
+              k * n_fields + c (see ops/layout.py; the reference's
+              field-major layout is used only at import/export).
       fields: [B, F] int32 field index per occurrence (0 for padding — padding
               is inert because its value is 0).
       vals:   [B, F] values.
@@ -108,17 +109,19 @@ def ffm_logits_and_grads(
     assert e == c * k
     onehot = jax.nn.one_hot(fields, c, dtype=v.dtype)  # [B, F, C]
     xoh = onehot * vals[..., None]  # [B, F, C]
-    # S[b, c, (d,k)] — bucket rows by their own field, weighted by value.
-    # One batched matmul contracting the occurrence axis; minor dim stays E.
+    # s[b, c, (k,d)] = S[c, d, k] = sum_{m: field_m = c} x_m * v_m[factor k,
+    # field d] — one batched matmul contracting the occurrence axis.
     s = jnp.einsum("bmc,bme->bce", xoh, v)  # [B, C, E]
-    # Block transpose (c, (d,k)) -> (d, (c,k)): the only layout shuffle.
+    # Swap the bucket/target field roles: s_t[b, d, (k,c)] = s[b, c, (k,d)].
     s_t = (
-        s.reshape(b, c, c, k).transpose(0, 2, 1, 3).reshape(b, c, e)
-    )  # s_t[b, d, (c,k)] = s[b, c, (d,k)]
-    # cross = sum_{c,d,k} S[b,c,d,k] * S[b,d,c,k]: elementwise in one layout.
+        s.reshape(b, c, k, c).transpose(0, 3, 2, 1).reshape(b, c, e)
+    )
+    # cross = sum_{c,d,k} S[c,d,k] * S[d,c,k]: elementwise in one layout.
     cross = jnp.sum(s * s_t, axis=(1, 2))  # [B]
-    # Self term: one-hot makes (sum_d oh_d * v[d,k])^2 == sum_d oh_d * v^2.
-    oh_e = jnp.repeat(onehot, k, axis=-1)  # [B, F, E] mask of own-field slots
+    # Self term: slot (k, c) belongs to field c = slot % C; one-hot makes
+    # (sum_c oh_c * v[k,c])^2 == sum_c oh_c * v^2.
+    slot_field = jnp.arange(e, dtype=fields.dtype) % c
+    oh_e = (fields[..., None] == slot_field).astype(v.dtype)  # [B, F, E]
     xv = v * vals[..., None]
     self_sq = jnp.sum(oh_e * xv * xv, axis=(1, 2))  # [B]
     logits = lin_logits + 0.5 * (cross - self_sq)
@@ -126,7 +129,7 @@ def ffm_logits_and_grads(
     if not compute_grads:
         return logits, None
 
-    # T[b, m, (c,k)] = S[b, c, field_m, k] = sum_d onehot[b,m,d] * s_t[b,d,(c,k)]
+    # T[b, m, (k,c)] = S[c, field_m, k] = sum_d onehot[b,m,d] * s_t[b,d,(k,c)]
     t = jnp.einsum("bmd,bde->bme", onehot, s_t)  # [B, F, E]
     dlogit_dv = vals[..., None] * (t - oh_e * xv)
     return logits, dlogit_dv

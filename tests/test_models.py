@@ -61,10 +61,19 @@ def test_b1_trajectory_matches_oracle(model_type, semantics):
     model = make_model(cfg)
     state = model.init()
 
+    from ftrl_ffm_tpu.ops.layout import kmajor_to_reference
+
+    def to_ref_layout(arr):
+        # FFM factor rows are stored factor-major internally; the oracle
+        # speaks the reference's field-major layout (ops/layout.py).
+        if model_type == "FFM":
+            return kmajor_to_reference(np.asarray(arr), N_FIELDS, K)
+        return np.asarray(arr)
+
     vec_init = None
     if model_type != "LR" and semantics == "keep_init":
         # the freshly-initialized vec_w table IS the random init
-        vec_init = np.asarray(state.vec_w).copy()
+        vec_init = to_ref_layout(state.vec_w).copy()
     oracle = Oracle(
         model_type,
         N_FEATS,
@@ -94,7 +103,7 @@ def test_b1_trajectory_matches_oracle(model_type, semantics):
     )
     if model_type != "LR":
         np.testing.assert_allclose(
-            np.asarray(state.vec_z), oracle.vec_z, rtol=2e-2, atol=2e-4
+            to_ref_layout(state.vec_z), oracle.vec_z, rtol=2e-2, atol=2e-4
         )
 
 
