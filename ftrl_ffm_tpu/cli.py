@@ -71,17 +71,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_auc", type=_str2bool, default=True)
     p.add_argument("--shuffle", type=_str2bool, default=True)
     p.add_argument("--compress_level", type=int, default=3, help="zstd level")
+    p.add_argument("--save_every", type=int, default=0,
+                   help="mid-training checkpoint every N steps (0 = end only)")
     p.add_argument("--load_model", default="",
                    help="resume from a full checkpoint (model_path saves one)")
     p.add_argument("--export_reference_model", default="",
                    help="also export weights as a reference-compatible zstd blob")
+    p.add_argument("--profile_dir", default="",
+                   help="write a jax.profiler trace of epoch 1 here")
+    # ---- multi-host (SPMD over DCN; one process per host) ----
+    p.add_argument("--coordinator_address", default="",
+                   help="jax.distributed coordinator host:port (multi-host)")
+    p.add_argument("--num_processes", type=int, default=0,
+                   help="total process count for jax.distributed")
+    p.add_argument("--process_id", type=int, default=-1,
+                   help="this process's id for jax.distributed")
     return p
+
+
+_NON_CONFIG_FLAGS = (
+    "load_model",
+    "export_reference_model",
+    "profile_dir",
+    "coordinator_address",
+    "num_processes",
+    "process_id",
+)
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    kwargs = {k: v for k, v in vars(args).items()
-              if k not in ("load_model", "export_reference_model")}
+    if args.coordinator_address:
+        # Multi-host SPMD: every host runs this same CLI; jax.distributed
+        # wires the DCN mesh (the reference is single-process only — §2c).
+        import jax
+
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes or None,
+            process_id=None if args.process_id < 0 else args.process_id,
+        )
+    kwargs = {k: v for k, v in vars(args).items() if k not in _NON_CONFIG_FLAGS}
     cfg = Config(**kwargs)
     if not cfg.train_data and not cfg.cmd:
         print("error: --train_data is required (or --cmd true for stdin)",
@@ -99,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     trainer = Trainer(cfg, state=state)
-    trainer.train()
+    trainer.train(profile_dir=args.profile_dir or None)
     print(f"total time: {time.perf_counter() - t0:.4f}s")
 
     if cfg.model_path:

@@ -123,6 +123,42 @@ class ShardedStep:
         )
         return logits, dv
 
+    def _train_logits_gvec(self, state: ModelState, batch: Batch):
+        """(logits, gs-scaled factor grads) for the local batch shard.
+
+        FFM on TPU routes through the fused Pallas kernel (ops/ffm_pallas.py)
+        — pallas_call composes with shard_map since it is per-device local
+        compute; collectives stay outside the kernel."""
+        cfg = self.cfg
+        b_local = batch.feats.shape[0]
+        use_pallas = cfg.model_type == "FFM" and b_local % 8 == 0 and (
+            cfg.use_pallas == "on"
+            or (cfg.use_pallas == "auto" and jax.default_backend() == "tpu")
+        )
+        if use_pallas:
+            from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
+
+            bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
+            w_lin = self._lookup_linear(state.lin_w, batch.feats)
+            lin = linear_logits(w_lin, batch.vals, bias_w)
+            v = self._lookup_vec(state.vec_w, batch.feats)
+            return ffm_fused_logits_grads(
+                v,
+                batch.fields,
+                batch.vals,
+                lin,
+                batch.y,
+                batch.sample_w,
+                cfg.n_fields,
+                cfg.n_factors,
+                compute_grads=True,
+            )
+        logits, dv = self._logits_and_grads(state, batch, train=True)
+        if dv is None:
+            return logits, None
+        gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
+        return logits, gs[:, None, None] * dv
+
     def _table_update(self, n_tab, z_tab, w_tab, ids_flat, g, g2):
         """Local dense scatter-add + psum("data") + fused closed-form pass."""
         tab_rows = n_tab.shape[0]
@@ -138,7 +174,7 @@ class ShardedStep:
     # ---- steps (bodies run per device under shard_map) ----
     def _train_step(self, state: ModelState, batch: Batch):
         p = self.params
-        logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
+        logits, g_vec = self._train_logits_gvec(state, batch)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [b]
 
         # Bias: global grad sums over "data", replicated update.
@@ -156,8 +192,8 @@ class ShardedStep:
         )
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
-        if dlogit_dv is not None:
-            g_vec = (gs[:, None, None] * dlogit_dv).reshape(-1, dlogit_dv.shape[-1])
+        if g_vec is not None:
+            g_vec = g_vec.reshape(-1, g_vec.shape[-1])
             vec_n, vec_z, vec_w = self._table_update(
                 state.vec_n, state.vec_z, state.vec_w, ids_flat, g_vec, g_vec * g_vec
             )

@@ -40,6 +40,7 @@ class Trainer:
         self.model = make_model(cfg)
         self.state = state if state is not None else self.model.init()
 
+        self._steps_done = 0
         self._sharded = None
         use_mesh = cfg.mesh_model > 1 or cfg.mesh_data > 1 or cfg.mesh_data == 0
         if use_mesh:
@@ -179,10 +180,16 @@ class Trainer:
         if epoch_rng is None:
             epoch_rng = np.random.default_rng(self.cfg.seed)
         sums = []
+        save_every = self.cfg.save_every
         for batch in self._device_feed(self._train_batches(epoch_rng)):
             out = self._train_step(self.state, batch)
             self.state = out.state
             sums.append((out.loss_sum, out.count))
+            if save_every and self.cfg.model_path:
+                step = len(sums) + self._steps_done
+                if step % save_every == 0:
+                    self._save_mid_checkpoint(step)
+        self._steps_done += len(sums)
         if not sums:
             return float("nan")
         # One device-side reduction + a single host readback: per-batch
@@ -192,6 +199,18 @@ class Trainer:
         acc = LossAccumulator()
         acc.update(*jax.device_get((loss_sum, count)))
         return acc.mean
+
+    def _save_mid_checkpoint(self, step: int) -> None:
+        """Periodic full-state checkpoint (new capability vs the reference,
+        which has no mid-training checkpointing — SURVEY §5)."""
+        from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            self.cfg.model_path,
+            self.state,
+            level=self.cfg.compress_level,
+            extra={"mid_training_step": step},
+        )
 
     def evaluate(self) -> tuple[float, float]:
         acc = LossAccumulator()
@@ -210,15 +229,24 @@ class Trainer:
         auc.update(pos, neg)
         return acc.mean, auc.result()
 
-    def train(self) -> dict:
+    def train(self, profile_dir: Optional[str] = None) -> dict:
         """Full multi-epoch run; prints the reference's per-epoch lines
-        (reference: src/task/ftrl_online.cpp:45-67)."""
+        (reference: src/task/ftrl_online.cpp:45-67).
+
+        profile_dir: if set, epoch 1 runs under a jax.profiler trace — the
+        TPU-native upgrade of the reference's steady-clock timers
+        (src/include/utils/utils.h:89-104)."""
         cfg = self.cfg
         history = {"train_loss": [], "eval_loss": [], "eval_auc": []}
         rng = np.random.default_rng(cfg.seed)
         for epoch in range(1, cfg.n_epochs + 1):
             t0 = time.perf_counter()
-            train_loss = self.train_epoch(rng)
+            if profile_dir and epoch == 1:
+                with jax.profiler.trace(profile_dir):
+                    train_loss = self.train_epoch(rng)
+                    jax.block_until_ready(self.state.lin_z)
+            else:
+                train_loss = self.train_epoch(rng)
             jax.block_until_ready(self.state.lin_z)
             dt = time.perf_counter() - t0
             print(

@@ -74,3 +74,51 @@ def test_eval_auc_reported(tmp_path):
     tr = Trainer(_cfg(train, evalp, False, n_epochs=1))
     hist = tr.train()
     assert 0.0 <= hist["eval_auc"][-1] <= 1.0
+
+
+def test_cmd_stdin_streaming(tmp_path, monkeypatch):
+    """--cmd true streams training data from stdin (the reference only has a
+    TODO stub for this branch, src/task/ftrl_online.cpp:55-57)."""
+    import io
+
+    rng = np.random.default_rng(0)
+    lines = []
+    for _ in range(40):
+        toks = [str(int(rng.random() > 0.5))] + [
+            f"{c}:{int(rng.integers(0, 50))}:1" for c in range(4)
+        ]
+        lines.append(" ".join(toks))
+    fake_stdin = io.StringIO("\n".join(lines) + "\n")
+    monkeypatch.setattr("sys.stdin", fake_stdin)
+
+    cfg = Config(
+        cmd=True, online=True, model_type="FFM", file_type="libffm",
+        n_fields=4, n_feats=50, n_factors=2, batch_size=16, max_nnz=4,
+        n_epochs=1,
+    )
+    tr = Trainer(cfg)
+    loss = tr.train_epoch()
+    assert np.isfinite(loss)
+    assert int(tr.state.step) == 3  # ceil(40 / 16)
+
+
+def test_save_every_mid_training_checkpoint(tmp_path):
+    from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
+
+    path = str(tmp_path / "train.ffm")
+    rng = np.random.default_rng(1)
+    with open(path, "w") as f:
+        for _ in range(64):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 50))}:1" for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    ckpt = str(tmp_path / "mid.ckpt")
+    cfg = Config(
+        train_data=path, model_type="FFM", n_fields=4, n_feats=50,
+        n_factors=2, batch_size=16, n_epochs=1, save_every=2, model_path=ckpt,
+    )
+    tr = Trainer(cfg)
+    tr.train_epoch()
+    state, extra = load_checkpoint(ckpt)
+    assert extra["mid_training_step"] == 4  # 64/16 = 4 steps, saved at 2 and 4
