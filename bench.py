@@ -24,15 +24,15 @@ import numpy as np
 
 # Measured reference baseline (examples/s): see BASELINE.md — reference binary,
 # 4 threads (all cores of this host), FFM k=16 on the same synthetic data
-# (best epoch: 100000 examples / 15.1413 s).
+# (400k examples; best epoch; see BASELINE.md "measured" table).
 BASELINE_EXAMPLES_PER_S = 6604.0
 
-N_SAMPLES = 100_000
+N_SAMPLES = 400_000
 N_FIELDS = 39
 N_FEATS = 100_000
 N_FACTORS = 16
 BATCH = 8192
-DATA_PATH = "/tmp/ftrl_ffm_tpu_bench_data.txt"
+DATA_PATH = "/tmp/ftrl_ffm_tpu_bench_data_400k.txt"
 
 
 def ensure_data(path: str = DATA_PATH) -> str:
@@ -70,6 +70,7 @@ def main() -> None:
         n_epochs=1,
         batch_size=BATCH,
         max_nnz=N_FIELDS,
+        n_threads=3,
     )
     trainer = Trainer(cfg)
 

@@ -36,6 +36,10 @@ class Config:
     # ---- TPU-native extras ----
     batch_size: int = 4096           # samples per device step (global batch)
     max_nnz: int = 0                 # fixed nnz padding per sample; 0 = sniff from data
+    steps_per_call: int = 1          # train steps per device dispatch; >1 scans
+                                     # S batches per dispatch (useful when
+                                     # dispatch latency dominates tiny steps;
+                                     # measured best at 1 for B=8192 FFM)
     seed: int = 42
     # Semantics of L1 on the factor tables:
     #   "reference": factor weight = closed_form(n, z) always.  Matches the

@@ -188,6 +188,7 @@ class Model:
                 state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g_vec * g_vec, p
             )
 
+        count = jnp.sum(batch.sample_w)
         new_state = ModelState(
             bias_n=bias_n,
             bias_z=bias_z,
@@ -197,14 +198,16 @@ class Model:
             vec_n=vec_n,
             vec_z=vec_z,
             vec_w=vec_w,
-            step=state.step + 1,
+            # inert (fully padded) batches don't count as steps — they arise
+            # as scan-group remainder padding and are numerical no-ops
+            step=state.step + (count > 0).astype(jnp.int32),
         )
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         return TrainOut(
             state=new_state,
             logits=logits,
             loss_sum=jnp.sum(per_loss),
-            count=jnp.sum(batch.sample_w),
+            count=count,
         )
 
     def eval_step(self, state: ModelState, batch: Batch):

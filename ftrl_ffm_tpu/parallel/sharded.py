@@ -77,6 +77,30 @@ class ShardedStep:
             )
         )
 
+        # Multi-step variants: lax.scan over a [S, ...] stack of batches in
+        # ONE dispatch — amortizes host->device dispatch latency (the analogue
+        # of the reference's 20000-line consumer chunks, pc_task.h:34).
+        multi_bspecs = Batch(*(P(None, *s) for s in batch_pspecs()))
+        self.train_multi = jax.jit(
+            shard_map(
+                self._train_multi,
+                mesh=mesh,
+                in_specs=(sspecs, multi_bspecs),
+                out_specs=(sspecs, P(), P()),
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+        self.eval_multi = jax.jit(
+            shard_map(
+                self._eval_multi,
+                mesh=mesh,
+                in_specs=(sspecs, multi_bspecs),
+                out_specs=(P(), P(), P(), P()),
+                check_vma=False,
+            )
+        )
+
     # ---- sharded table access (runs on per-device local views) ----
     def _local_lookup_mask(self, tab_rows: int, ids: jax.Array):
         """(local_ids, in_shard_mask) for this device's contiguous row block."""
@@ -198,6 +222,7 @@ class ShardedStep:
                 state.vec_n, state.vec_z, state.vec_w, ids_flat, g_vec, g_vec * g_vec
             )
 
+        count = jax.lax.psum(jnp.sum(batch.sample_w), "data")
         new_state = ModelState(
             bias_n=bias_n,
             bias_z=bias_z,
@@ -207,11 +232,10 @@ class ShardedStep:
             vec_n=vec_n,
             vec_z=vec_z,
             vec_w=vec_w,
-            step=state.step + 1,
+            step=state.step + (count > 0).astype(jnp.int32),
         )
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         loss_sum = jax.lax.psum(jnp.sum(per_loss), "data")
-        count = jax.lax.psum(jnp.sum(batch.sample_w), "data")
         return TrainOut(new_state, logits, loss_sum, count)
 
     def _eval_step(self, state: ModelState, batch: Batch):
@@ -220,6 +244,46 @@ class ShardedStep:
         loss_sum = jax.lax.psum(jnp.sum(per_loss), "data")
         count = jax.lax.psum(jnp.sum(batch.sample_w), "data")
         return loss_sum, count, logits
+
+    # ---- multi-step (scan) bodies ----
+    def _train_multi(self, state: ModelState, batches: Batch):
+        def body(st, b):
+            out = self._train_step(st, b)
+            return out.state, (out.loss_sum, out.count)
+
+        state, (ls, ct) = jax.lax.scan(body, state, batches)
+        return state, jnp.sum(ls), jnp.sum(ct)
+
+    def _eval_multi(self, state: ModelState, batches: Batch):
+        from ftrl_ffm_tpu.metrics import StreamingAUC
+
+        bins = 8192
+
+        def body(carry, b):
+            ls0, ct0, pos0, neg0 = carry
+            logits, _ = self._logits_and_grads(state, b, train=False)
+            per_loss = binary_logloss(logits, b.y) * b.sample_w
+            pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, bins)
+            return (
+                ls0 + jnp.sum(per_loss),
+                ct0 + jnp.sum(b.sample_w),
+                pos0 + pos,
+                neg0 + neg,
+            ), None
+
+        init = (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((bins,), jnp.float32),
+            jnp.zeros((bins,), jnp.float32),
+        )
+        (ls, ct, pos, neg), _ = jax.lax.scan(body, init, batches)
+        return (
+            jax.lax.psum(ls, "data"),
+            jax.lax.psum(ct, "data"),
+            jax.lax.psum(pos, "data"),
+            jax.lax.psum(neg, "data"),
+        )
 
     # ---- host-side batch placement ----
     def place_batch(self, arrays) -> Batch:
@@ -233,3 +297,9 @@ class ShardedStep:
             y=put(y, specs[3]),
             sample_w=put(sample_w, specs[4]),
         )
+
+    def place_batch_multi(self, arrays) -> Batch:
+        """Place a [S, ...]-stacked batch group (leading dim unsharded)."""
+        specs = [P(None, *s) for s in batch_pspecs()]
+        put = lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s))
+        return Batch(*(put(a, s) for a, s in zip(arrays, specs)))

@@ -28,9 +28,34 @@ from ftrl_ffm_tpu.models.base import ModelState
 
 AUC_BINS = 8192
 
+_cache_enabled = False
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache: step compiles are expensive (the
+    whole fused train graph), identical across runs, and worth caching."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    import os
+
+    path = os.environ.get(
+        "FTRL_FFM_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "ftrl_ffm_tpu_xla"),
+    )
+    if path and path != "0":
+        try:
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
 
 class Trainer:
     def __init__(self, cfg: Config, state: Optional[ModelState] = None):
+        enable_compilation_cache()
         if not cfg.file_type and cfg.train_data:
             cfg.file_type = detect_file_type(cfg.train_data)
         cfg.validate_file_type()
@@ -56,9 +81,39 @@ class Trainer:
             self._sharded = ShardedStep(cfg, mesh, self.state)
             self._train_step = self._sharded.train_step
             self._eval_step = jax.jit(self._eval_with_auc_sharded)
+            self._train_multi = self._sharded.train_multi
+            self._eval_multi = self._sharded.eval_multi
         else:
             self._train_step = jax.jit(self.model.train_step, donate_argnums=0)
             self._eval_step = jax.jit(self._eval_with_auc)
+            self._train_multi = jax.jit(self._multi_train_impl, donate_argnums=0)
+            self._eval_multi = jax.jit(self._multi_eval_impl)
+        self._spc = max(1, cfg.steps_per_call)
+
+    # ---- multi-step (one dispatch per S batches, lax.scan) ----
+    def _multi_train_impl(self, state: ModelState, batches: Batch):
+        def body(st, b):
+            out = self.model.train_step(st, b)
+            return out.state, (out.loss_sum, out.count)
+
+        state, (ls, ct) = jax.lax.scan(body, state, batches)
+        return state, jnp.sum(ls), jnp.sum(ct)
+
+    def _multi_eval_impl(self, state: ModelState, batches: Batch):
+        def body(carry, b):
+            ls0, ct0, pos0, neg0 = carry
+            ls, ct, logits = self.model.eval_step(state, b)
+            pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
+            return (ls0 + ls, ct0 + ct, pos0 + pos, neg0 + neg), None
+
+        init = (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((AUC_BINS,), jnp.float32),
+            jnp.zeros((AUC_BINS,), jnp.float32),
+        )
+        (ls, ct, pos, neg), _ = jax.lax.scan(body, init, batches)
+        return ls, ct, pos, neg
 
     def _eval_with_auc_sharded(self, state: ModelState, batch: Batch):
         loss_sum, count, logits = self._sharded.eval_step(state, batch)
@@ -106,6 +161,34 @@ class Trainer:
         if err:
             raise err[0]
 
+    def _device_feed_multi(self, groups_iter):
+        """Like _device_feed but for [S, ...]-stacked batch groups."""
+        import queue as _queue
+        import threading as _threading
+
+        q: _queue.Queue = _queue.Queue(maxsize=2)
+        err: list[BaseException] = []
+
+        def upload():
+            try:
+                for arrays, real_n in groups_iter:
+                    q.put((self._device_group(arrays), real_n))
+            except BaseException as e:
+                err.append(e)
+            finally:
+                q.put(None)
+
+        t = _threading.Thread(target=upload, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is None:
+                break
+            yield b
+        t.join()
+        if err:
+            raise err[0]
+
     def _device_batch(self, arrays) -> Batch:
         if self._sharded is not None:
             return self._sharded.place_batch(arrays)
@@ -118,6 +201,39 @@ class Trainer:
             sample_w=jnp.asarray(sample_w),
         )
 
+    def _device_group(self, arrays) -> Batch:
+        if self._sharded is not None:
+            return self._sharded.place_batch_multi(arrays)
+        return Batch(*(jnp.asarray(a) for a in arrays))
+
+    def _grouped(self, arrays_iter, s: int):
+        """Stack batches into [S, ...] groups; the remainder group is padded
+        with inert batches (sample_w 0, sentinel feature ids) so every
+        dispatch compiles to the same shape."""
+        cfg = self.cfg
+        group: list[tuple] = []
+
+        def stack(g):
+            if len(g) < s:
+                b, f = g[0][0].shape
+                inert = (
+                    np.zeros((b, f), np.int32),
+                    np.full((b, f), cfg.n_feats, np.int32),
+                    np.zeros((b, f), np.float32),
+                    np.zeros(b, np.float32),
+                    np.zeros(b, np.float32),
+                )
+                g = g + [inert] * (s - len(g))
+            return tuple(np.stack([t[i] for t in g]) for i in range(5))
+
+        for arrays in arrays_iter:
+            group.append(arrays)
+            if len(group) == s:
+                yield stack(group), s
+                group = []
+        if group:
+            yield stack(group), len(group)
+
     def _train_batches(self, epoch_rng: np.random.Generator):
         cfg = self.cfg
         if cfg.online:
@@ -129,6 +245,7 @@ class Trainer:
                 cfg.max_nnz,
                 cfg.n_feats,
                 cfg.n_fields,
+                n_parse_threads=cfg.n_threads,
             )
             yield from reader.batches()
         else:
@@ -159,6 +276,7 @@ class Trainer:
                 cfg.max_nnz,
                 cfg.n_feats,
                 cfg.n_fields,
+                n_parse_threads=cfg.n_threads,
             )
             yield from reader.batches()
         else:
@@ -181,15 +299,30 @@ class Trainer:
             epoch_rng = np.random.default_rng(self.cfg.seed)
         sums = []
         save_every = self.cfg.save_every
-        for batch in self._device_feed(self._train_batches(epoch_rng)):
-            out = self._train_step(self.state, batch)
-            self.state = out.state
-            sums.append((out.loss_sum, out.count))
+        s = self._spc
+        def maybe_save(step_now: int, step_prev: int):
+            # checkpoint whenever a multiple of save_every was crossed
             if save_every and self.cfg.model_path:
-                step = len(sums) + self._steps_done
-                if step % save_every == 0:
-                    self._save_mid_checkpoint(step)
-        self._steps_done += len(sums)
+                if step_now // save_every > step_prev // save_every:
+                    self._save_mid_checkpoint(step_now)
+
+        if s > 1:
+            n_steps = 0
+            groups = self._grouped(self._train_batches(epoch_rng), s)
+            for group, real_n in self._device_feed_multi(groups):
+                self.state, ls, ct = self._train_multi(self.state, group)
+                sums.append((ls, ct))
+                prev, n_steps = n_steps, n_steps + real_n
+                maybe_save(self._steps_done + n_steps, self._steps_done + prev)
+            self._steps_done += n_steps
+        else:
+            for batch in self._device_feed(self._train_batches(epoch_rng)):
+                out = self._train_step(self.state, batch)
+                self.state = out.state
+                sums.append((out.loss_sum, out.count))
+                maybe_save(self._steps_done + len(sums),
+                           self._steps_done + len(sums) - 1)
+            self._steps_done += len(sums)
         if not sums:
             return float("nan")
         # One device-side reduction + a single host readback: per-batch
@@ -216,8 +349,13 @@ class Trainer:
         acc = LossAccumulator()
         auc = StreamingAUC(AUC_BINS)
         results = []
-        for batch in self._device_feed(self._eval_batches()):
-            results.append(self._eval_step(self.state, batch))
+        if self._spc > 1:
+            groups = self._grouped(self._eval_batches(), self._spc)
+            for group, _ in self._device_feed_multi(groups):
+                results.append(self._eval_multi(self.state, group))
+        else:
+            for batch in self._device_feed(self._eval_batches()):
+                results.append(self._eval_step(self.state, batch))
         if not results:
             return float("nan"), float("nan")
         loss_sum = jnp.sum(jnp.stack([r[0] for r in results]))

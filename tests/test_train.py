@@ -122,3 +122,53 @@ def test_save_every_mid_training_checkpoint(tmp_path):
     tr.train_epoch()
     state, extra = load_checkpoint(ckpt)
     assert extra["mid_training_step"] == 4  # 64/16 = 4 steps, saved at 2 and 4
+
+
+@pytest.mark.parametrize("online", [True, False])
+def test_steps_per_call_matches_single_step(tmp_path, online):
+    """lax.scan multi-step dispatch == one-dispatch-per-step, including the
+    inert-padded remainder group."""
+    path = str(tmp_path / "t.ffm")
+    rng = np.random.default_rng(2)
+    with open(path, "w") as f:
+        for _ in range(88):  # 6 batches of 16 -> groups of 4 need padding
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 50))}:1" for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(
+        train_data=path, eval_data=path, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=2, batch_size=16, n_epochs=1, online=online,
+        shuffle=False,
+    )
+    t1 = Trainer(Config(**kw, steps_per_call=1))
+    h1 = t1.train()
+    t4 = Trainer(Config(**kw, steps_per_call=4))
+    h4 = t4.train()
+    np.testing.assert_allclose(h1["train_loss"], h4["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(h1["eval_loss"], h4["eval_loss"], rtol=1e-6)
+    np.testing.assert_allclose(h1["eval_auc"], h4["eval_auc"], rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(t1.state.vec_z), np.asarray(t4.state.vec_z), rtol=1e-6
+    )
+
+
+def test_steps_per_call_sharded(tmp_path):
+    path = str(tmp_path / "t.ffm")
+    rng = np.random.default_rng(3)
+    with open(path, "w") as f:
+        for _ in range(96):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 50))}:1" for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(
+        train_data=path, eval_data=path, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=2, batch_size=16, n_epochs=1, online=True,
+    )
+    t1 = Trainer(Config(**kw, steps_per_call=1))
+    h1 = t1.train()
+    tm = Trainer(Config(**kw, steps_per_call=4, mesh_data=4, mesh_model=2))
+    hm = tm.train()
+    np.testing.assert_allclose(h1["train_loss"], hm["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(h1["eval_loss"], hm["eval_loss"], rtol=1e-5)
