@@ -52,6 +52,11 @@ class Config:
     factor_semantics: str = "keep_init"
     compute_dtype: str = "float32"   # logit compute dtype ("float32"|"bfloat16")
     use_pallas: str = "auto"         # "auto" (TPU only) | "on" | "off"
+    # Compact host->device transfer: fields int8/int16, values bfloat16,
+    # labels/sample weights int8 (widened on device).  Cuts upload bytes
+    # ~45%; bfloat16 quantizes feature values to 8 mantissa bits (exact for
+    # the 1.0-valued categorical features of CTR data).
+    compact_transfer: bool = True
     # mesh: data-parallel x model-parallel(row-sharded tables)
     mesh_data: int = 1
     mesh_model: int = 1

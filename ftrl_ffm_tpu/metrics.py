@@ -50,6 +50,8 @@ class StreamingAUC:
     @staticmethod
     def bucket_counts(logits: jax.Array, y: jax.Array, w: jax.Array, n_bins: int):
         """Jit-friendly per-batch histogram (call inside the eval step)."""
+        y = y.astype(jnp.float32)
+        w = w.astype(jnp.float32)
         scores = jax.nn.sigmoid(logits)
         idx = jnp.clip((scores * n_bins).astype(jnp.int32), 0, n_bins - 1)
         pos = jnp.zeros((n_bins,), jnp.float32).at[idx].add(y * w)

@@ -73,6 +73,22 @@ class TrainOut(NamedTuple):
     count: jax.Array        # scalar: number of real samples
 
 
+def widen_batch(b: Batch) -> Batch:
+    """Cast a (possibly transfer-compacted) batch to canonical dtypes.
+
+    The host pipeline may upload fields as int8/int16, values as bfloat16 and
+    labels/sample weights as int8 to cut host->HBM transfer bytes
+    (Config.compact_transfer); widening on device is free (fused casts).
+    No-op for already-canonical batches."""
+    return Batch(
+        fields=b.fields.astype(jnp.int32),
+        feats=b.feats.astype(jnp.int32),
+        vals=b.vals.astype(jnp.float32),
+        y=b.y.astype(jnp.float32),
+        sample_w=b.sample_w.astype(jnp.float32),
+    )
+
+
 def binary_logloss(logits: jax.Array, y: jax.Array) -> jax.Array:
     """Numerically stable -y*log(s) - (1-y)*log(1-s) from the logit.
 
@@ -146,7 +162,7 @@ class Model:
 
     # ---- public API ----
     def predict_logits(self, state: ModelState, batch: Batch) -> jax.Array:
-        logits, _ = self._logits_and_grads(state, batch, train=False)
+        logits, _ = self._logits_and_grads(state, widen_batch(batch), train=False)
         return logits
 
     def predict_proba(self, state: ModelState, batch: Batch) -> jax.Array:
@@ -169,6 +185,7 @@ class Model:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
         p = self.params
+        batch = widen_batch(batch)
         logits, g_vec = self._train_logits_gvec(state, batch)
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
@@ -213,6 +230,7 @@ class Model:
     def eval_step(self, state: ModelState, batch: Batch):
         """Masked log-loss sum + count for one eval batch
         (reference: src/eval/evaluate.cpp:23-33)."""
+        batch = widen_batch(batch)
         logits = self.predict_logits(state, batch)
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         return jnp.sum(per_loss), jnp.sum(batch.sample_w), logits

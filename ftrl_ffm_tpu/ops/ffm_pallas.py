@@ -10,20 +10,19 @@ Math (identical to the XLA path; reference: src/model/ffm.cpp:57-70 logit,
 :107-123 grads).  The factor tables are stored **factor-major** (slot
 (k, c) = k*C + c, see ops/layout.py) precisely so that the per-factor slice
 v[:, :, k*C:(k+1)*C] is a contiguous lane range — Mosaic supports contiguous
-lane slicing but not minor-dim-splitting reshapes.  Per factor k:
+lane slicing and last-two-dims transposes but not minor-dim-splitting
+reshapes:
 
-    s_k[c, d]  = sum_m xoh[m, c] * v_k[m, d]          (MXU)
-    cross_k    = trace(s_k @ s_k)                      (MXU, no transpose)
-    self_k     = sum_{m,c} onehot[m,c] * (x_m v_k[m,c])^2
-    T_k[m, c]  = sum_d onehot[m, d] * s_k[c, d]        (MXU)
-    g_k[m, c]  = gs_m * x_m * (T_k[m,c] - onehot[m,c] * x_m * v_k[m,c])
-
-    logit      = lin + 0.5 * sum_k (cross_k - self_k)
-    gs         = (sigmoid(logit) - y) * sample_w
+    s[c, (k,d)]   = sum_m xoh[m, c] * v[m, (k,d)]      (MXU, one wide matmul)
+    s_t[d, (k,c)] = s[c, (k,d)]                        (K slice-transposes)
+    cross         = <s, s_t>;  self = sum oh_e * (x v)^2
+    logit         = lin + 0.5 * (cross - self)
+    gs            = (sigmoid(logit) - y) * sample_w
+    T[m, (k,c)]   = sum_d onehot[m,d] * s_t[d, (k,c)]  (MXU, one wide matmul)
+    g[m, (k,c)]   = gs * x_m * (T[m,(k,c)] - oh_e * x_m * v[m,(k,c)])
 
 Grid: 1-D over batch tiles; each [TB, F, E] block of v streams through VMEM
-(Pallas double-buffers block in/out automatically); s_k slabs live in a VMEM
-scratch across the two per-k loops.
+(Pallas double-buffers block in/out automatically).
 """
 
 from __future__ import annotations
@@ -58,16 +57,19 @@ def _ffm_fused_kernel(
     field_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, f, c), 2)
     onehot = (fields_ref[:][:, :, None] == field_ids).astype(jnp.float32)
     xoh = onehot * vals[:, :, None]   # [TB, F, C]
-    eye = (
-        jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-        == jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    ).astype(jnp.float32)
 
     # s[b, c_bucket, (k,d)] — ONE batched matmul over the full row width.
     s = jax.lax.dot_general(
         xoh, v,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+    )                                  # [TB, C, E]
+
+    # s_t[b, d, (k,c)] = s[b, c, (k,d)]: per-k contiguous-lane slices, each a
+    # last-two-dims transpose (tpu.transpose), re-assembled along lanes.
+    s_t = jnp.concatenate(
+        [jnp.swapaxes(s[:, :, kk * c : (kk + 1) * c], 1, 2) for kk in range(k)],
+        axis=2,
     )                                  # [TB, C, E]
 
     # self term across all k at once (slot (k,c) has field c = slot mod C)
@@ -78,19 +80,9 @@ def _ffm_fused_kernel(
         jnp.sum(oh_e * xv * xv, axis=2), axis=1, keepdims=True
     )                                  # [TB, 1]
 
-    # cross = sum_k trace(s_k @ s_k); per-k slices are contiguous lanes.
+    # cross = sum_{c,d,k} S[c,d,k] * S[d,c,k] = <s, s_t> elementwise.
     # (per-sample accumulators stay rank-2 [TB, 1]: Mosaic wants >= 2D)
-    cross = jnp.zeros((tb, 1), jnp.float32)
-    for kk in range(k):
-        sk = s[:, :, kk * c : (kk + 1) * c]             # [TB, C, C]
-        pk = jax.lax.dot_general(
-            sk, sk,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        cross = cross + jnp.sum(
-            jnp.sum(pk * eye[None], axis=2), axis=1, keepdims=True
-        )
+    cross = jnp.sum(jnp.sum(s * s_t, axis=2), axis=1, keepdims=True)
 
     logits = lin_ref[:] + 0.5 * (cross - self_sq)       # [TB, 1]
     logits_ref[:] = logits
@@ -98,18 +90,14 @@ def _ffm_fused_kernel(
     if compute_grads:
         gs = (jax.nn.sigmoid(logits) - y_ref[:]) * sw_ref[:]   # [TB, 1]
         gx = gs * vals                                   # [TB, F]
-        for kk in range(k):
-            sk = s[:, :, kk * c : (kk + 1) * c]          # [TB, C, C]
-            vk = v[:, :, kk * c : (kk + 1) * c]
-            # T_k[b, m, c] = sum_d onehot[b,m,d] * s_k[b,c,d]  (A @ B^T form)
-            tk = jax.lax.dot_general(
-                onehot, sk,
-                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32,
-            )                                            # [TB, F, C]
-            g_ref[:, :, kk * c : (kk + 1) * c] = gx[:, :, None] * (
-                tk - onehot * vals[:, :, None] * vk
-            )
+        # T[b, m, (k,c)] = sum_d onehot[b,m,d] * s_t[b,d,(k,c)] — one wide
+        # batched matmul.
+        t = jax.lax.dot_general(
+            onehot, s_t,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                                # [TB, F, E]
+        g_ref[:] = gx[:, :, None] * (t - oh_e * xv)
     else:
         g_ref[:] = jnp.zeros_like(g_ref)
 

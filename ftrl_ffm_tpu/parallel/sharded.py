@@ -35,7 +35,13 @@ from ftrl_ffm_tpu.ftrl import (
     ftrl_weights,
     scatter_grads,
 )
-from ftrl_ffm_tpu.models.base import Batch, ModelState, TrainOut, binary_logloss
+from ftrl_ffm_tpu.models.base import (
+    Batch,
+    ModelState,
+    TrainOut,
+    binary_logloss,
+    widen_batch,
+)
 from ftrl_ffm_tpu.ops.interactions import (
     ffm_logits_and_grads,
     fm_logits_and_grads,
@@ -198,6 +204,7 @@ class ShardedStep:
     # ---- steps (bodies run per device under shard_map) ----
     def _train_step(self, state: ModelState, batch: Batch):
         p = self.params
+        batch = widen_batch(batch)
         logits, g_vec = self._train_logits_gvec(state, batch)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [b]
 
@@ -239,6 +246,7 @@ class ShardedStep:
         return TrainOut(new_state, logits, loss_sum, count)
 
     def _eval_step(self, state: ModelState, batch: Batch):
+        batch = widen_batch(batch)
         logits, _ = self._logits_and_grads(state, batch, train=False)
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         loss_sum = jax.lax.psum(jnp.sum(per_loss), "data")
@@ -261,6 +269,7 @@ class ShardedStep:
 
         def body(carry, b):
             ls0, ct0, pos0, neg0 = carry
+            b = widen_batch(b)
             logits, _ = self._logits_and_grads(state, b, train=False)
             per_loss = binary_logloss(logits, b.y) * b.sample_w
             pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, bins)

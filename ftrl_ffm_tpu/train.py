@@ -189,19 +189,35 @@ class Trainer:
         if err:
             raise err[0]
 
-    def _device_batch(self, arrays) -> Batch:
-        if self._sharded is not None:
-            return self._sharded.place_batch(arrays)
+    def _compact(self, arrays):
+        """Narrow upload dtypes (see Config.compact_transfer); the jitted
+        steps widen on device (models/base.py::widen_batch)."""
+        if not self.cfg.compact_transfer:
+            return arrays
+        import ml_dtypes
+
         fields, feats, vals, y, sample_w = arrays
-        return Batch(
-            fields=jnp.asarray(fields),
-            feats=jnp.asarray(feats),
-            vals=jnp.asarray(vals),
-            y=jnp.asarray(y),
-            sample_w=jnp.asarray(sample_w),
+        fdt = (
+            np.int8
+            if self.cfg.n_fields <= 127
+            else np.int16 if self.cfg.n_fields <= 32767 else np.int32
+        )
+        return (
+            fields.astype(fdt),
+            feats,
+            vals.astype(ml_dtypes.bfloat16),
+            y.astype(np.int8),
+            sample_w.astype(np.int8),
         )
 
+    def _device_batch(self, arrays) -> Batch:
+        arrays = self._compact(arrays)
+        if self._sharded is not None:
+            return self._sharded.place_batch(arrays)
+        return Batch(*(jnp.asarray(a) for a in arrays))
+
     def _device_group(self, arrays) -> Batch:
+        arrays = self._compact(arrays)
         if self._sharded is not None:
             return self._sharded.place_batch_multi(arrays)
         return Batch(*(jnp.asarray(a) for a in arrays))
