@@ -23,9 +23,9 @@ import time
 import numpy as np
 
 # Measured reference baseline (examples/s): see BASELINE.md — reference binary,
-# 4 threads (all cores of this host), FFM k=16 on the same synthetic data
-# (400k examples; best epoch; see BASELINE.md "measured" table).
-BASELINE_EXAMPLES_PER_S = 6604.0
+# 4 threads (all cores of this host), FFM k=16 on the same 400k-example
+# synthetic data (best epoch: 400000 / 39.1641 s).
+BASELINE_EXAMPLES_PER_S = 10213.0
 
 N_SAMPLES = 400_000
 N_FIELDS = 39

@@ -7,7 +7,6 @@ README.md:44-80) plus TPU-native extras (batching, mesh, dtypes).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass

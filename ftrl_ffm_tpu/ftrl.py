@@ -138,6 +138,68 @@ def dense_ftrl_update(
     return new_n, new_z, new_w
 
 
+def sparse_ftrl_update(
+    n_tab: jax.Array,
+    z_tab: jax.Array,
+    w_tab: jax.Array,
+    ids: jax.Array,
+    g: jax.Array,
+    g2: jax.Array,
+    p: FtrlParams,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Touched-rows-only FTRL step: sort -> per-unique-id segment sums ->
+    gather rows -> closed form -> scatter back.
+
+    Identical semantics to dense_ftrl_update, but temp memory is O(nnz * D)
+    instead of O(R * D) — the right trade for very large tables (R >> nnz),
+    where the dense accumulators would not fit in HBM and the full-table
+    elementwise pass would dominate.  dense_vs_sparse selection is automatic
+    (see select_ftrl_update).
+    """
+    num = ids.shape[0]
+    order = jnp.argsort(ids)
+    sids = jnp.take(ids, order)
+    sg = jnp.take(g, order, axis=0)
+    sg2 = jnp.take(g2, order, axis=0)
+
+    # run-length structure of the sorted id stream
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(is_start) - 1  # run index per occurrence
+    sum_g = jax.ops.segment_sum(sg, seg, num_segments=num, indices_are_sorted=True)
+    sum_g2 = jax.ops.segment_sum(sg2, seg, num_segments=num, indices_are_sorted=True)
+
+    # representative id per run; never-written slots keep the drop sentinel
+    sentinel = n_tab.shape[0]
+    uniq = jnp.full((num,), sentinel, dtype=ids.dtype).at[seg].set(
+        sids, mode="drop", unique_indices=False
+    )
+
+    n_rows = jnp.take(n_tab, uniq, axis=0, mode="clip")
+    z_rows = jnp.take(z_tab, uniq, axis=0, mode="clip")
+    w_rows = jnp.take(w_tab, uniq, axis=0, mode="clip")
+    new_n, new_z = ftrl_accumulate(n_rows, z_rows, w_rows, sum_g, sum_g2, p)
+    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_rows)
+
+    kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+    n_tab = n_tab.at[uniq].set(new_n, **kw)
+    z_tab = z_tab.at[uniq].set(new_z, **kw)
+    w_tab = w_tab.at[uniq].set(new_w, **kw)
+    return n_tab, z_tab, w_tab
+
+
+def select_ftrl_update(n_rows: int, row_width: int, nnz: int):
+    """dense_ftrl_update for small tables, sparse for huge ones.
+
+    Dense costs ~8*R*D bytes of traffic and 2*R*D*4 bytes of temp HBM; sparse
+    costs ~7*nnz*D of both.  Switch to sparse when the dense accumulators
+    would be disproportionate or simply too large.
+    """
+    dense_temp_bytes = 2 * n_rows * max(1, row_width) * 4
+    if n_rows > 4 * nnz or dense_temp_bytes > (2 << 30):
+        return sparse_ftrl_update
+    return dense_ftrl_update
+
+
 def bias_update(
     bias_n: jax.Array,
     bias_z: jax.Array,

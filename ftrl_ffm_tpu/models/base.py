@@ -23,8 +23,8 @@ from ftrl_ffm_tpu.config import Config
 from ftrl_ffm_tpu.ftrl import (
     FtrlParams,
     bias_update,
-    dense_ftrl_update,
     ftrl_weights,
+    select_ftrl_update,
 )
 
 
@@ -193,7 +193,8 @@ class Model:
         # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
         g_lin = (gs[:, None] * batch.vals).reshape(-1)
         ids = batch.feats.reshape(-1)
-        lin_n, lin_z, lin_w = dense_ftrl_update(
+        lin_update = select_ftrl_update(state.lin_n.shape[0], 1, ids.shape[0])
+        lin_n, lin_z, lin_w = lin_update(
             state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
         )
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
@@ -201,7 +202,10 @@ class Model:
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if g_vec is not None:
             g_vec = g_vec.reshape(-1, state.vec_w.shape[-1])  # [B*F, D]
-            vec_n, vec_z, vec_w = dense_ftrl_update(
+            vec_update = select_ftrl_update(
+                state.vec_n.shape[0], state.vec_n.shape[1], ids.shape[0]
+            )
+            vec_n, vec_z, vec_w = vec_update(
                 state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g_vec * g_vec, p
             )
 

@@ -14,8 +14,7 @@ import/export and comparisons against reference-layout weights convert.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-import numpy as np
+import numpy as np  # noqa: F401  (dtype interop for callers)
 
 
 def kmajor_to_reference(x, n_fields: int, n_factors: int):

@@ -124,3 +124,57 @@ def test_bias_update():
     bn, bz = bias_update(jnp.array(0.0), jnp.array(0.0), g, P)
     assert float(bn) == pytest.approx(0.3125)
     assert float(bz) == pytest.approx(0.25)  # w=0 -> z += sum_g
+
+
+def test_sparse_update_matches_dense():
+    """sparse (sort/segment/scatter) path == dense accumulator path."""
+    from ftrl_ffm_tpu.ftrl import dense_ftrl_update, sparse_ftrl_update
+
+    rng = np.random.default_rng(5)
+    r, d, n = 50, 6, 40
+    n_np = rng.random((r, d)).astype(np.float32)
+    z_np = rng.standard_normal((r, d)).astype(np.float32)
+    n_tab = jnp.asarray(n_np)
+    z_tab = jnp.asarray(z_np)
+    # w must satisfy the state invariant w = f(n, z) on touched rows (the
+    # dense path re-derives w for every ever-touched row; the sparse path
+    # only rewrites rows in the batch — identical only under the invariant)
+    w_tab = jnp.asarray(closed_form(n_np, z_np, P.alpha, P.beta, P.l1, P.l2))
+    ids = jnp.asarray(
+        np.concatenate([rng.integers(0, r, n - 5), np.full(5, r)]).astype(np.int32)
+    )  # includes sentinel padding
+    g = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    g2 = g * g
+
+    dn, dz, dw = dense_ftrl_update(n_tab, z_tab, w_tab, ids, g, g2, P)
+    sn, sz, sw = sparse_ftrl_update(n_tab, z_tab, w_tab, ids, g, g2, P)
+    np.testing.assert_allclose(np.asarray(sn), np.asarray(dn), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(sz), np.asarray(dz), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(dw), rtol=1e-5, atol=1e-7)
+
+
+def test_sparse_update_scalar_table():
+    from ftrl_ffm_tpu.ftrl import dense_ftrl_update, sparse_ftrl_update
+
+    rng = np.random.default_rng(6)
+    r, n = 30, 64
+    n_tab = jnp.zeros((r,)); z_tab = jnp.zeros((r,)); w_tab = jnp.zeros((r,))
+    ids = jnp.asarray(rng.integers(0, r, n).astype(np.int32))
+    g = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    dn, dz, dw = dense_ftrl_update(n_tab, z_tab, w_tab, ids, g, g * g, P)
+    sn, sz, sw = sparse_ftrl_update(n_tab, z_tab, w_tab, ids, g, g * g, P)
+    np.testing.assert_allclose(np.asarray(sn), np.asarray(dn), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sz), np.asarray(dz), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sw), np.asarray(dw), rtol=1e-5, atol=1e-8)
+
+
+def test_select_ftrl_update_heuristic():
+    from ftrl_ffm_tpu.ftrl import (
+        dense_ftrl_update,
+        select_ftrl_update,
+        sparse_ftrl_update,
+    )
+
+    assert select_ftrl_update(100_000, 624, 319_488) is dense_ftrl_update
+    assert select_ftrl_update(10_000_000, 624, 319_488) is sparse_ftrl_update
+    assert select_ftrl_update(1_000_000, 624, 319_488) is sparse_ftrl_update  # temp>2GB
