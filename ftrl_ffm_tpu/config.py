@@ -56,6 +56,12 @@ class Config:
     # ~45%; bfloat16 quantizes feature values to 8 mantissa bits (exact for
     # the 1.0-valued categorical features of CTR data).
     compact_transfer: bool = True
+    # FTRL table update strategy: "dense" scatter-adds (g, g^2) into
+    # table-shaped accumulators + one fused full-table pass (fastest while
+    # the table is not much larger than the batch's nnz); "sparse" updates
+    # touched rows only via sort/segment-sum (O(nnz) temps — required for
+    # very large tables); "auto" picks per table (ftrl.select_ftrl_update).
+    update_mode: str = "auto"
     # mesh: data-parallel x model-parallel(row-sharded tables)
     mesh_data: int = 1
     mesh_model: int = 1
@@ -72,6 +78,8 @@ class Config:
             )
         if self.factor_semantics not in ("reference", "keep_init"):
             raise ValueError(f"invalid factor_semantics: {self.factor_semantics}")
+        if self.update_mode not in ("auto", "dense", "sparse"):
+            raise ValueError(f"invalid update_mode: {self.update_mode}")
 
     # Width of one feature row in the factor table.
     @property

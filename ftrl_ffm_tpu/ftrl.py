@@ -187,13 +187,17 @@ def sparse_ftrl_update(
     return n_tab, z_tab, w_tab
 
 
-def select_ftrl_update(n_rows: int, row_width: int, nnz: int):
+def select_ftrl_update(n_rows: int, row_width: int, nnz: int, mode: str = "auto"):
     """dense_ftrl_update for small tables, sparse for huge ones.
 
     Dense costs ~8*R*D bytes of traffic and 2*R*D*4 bytes of temp HBM; sparse
     costs ~7*nnz*D of both.  Switch to sparse when the dense accumulators
     would be disproportionate or simply too large.
     """
+    if mode == "dense":
+        return dense_ftrl_update
+    if mode == "sparse":
+        return sparse_ftrl_update
     dense_temp_bytes = 2 * n_rows * max(1, row_width) * 4
     if n_rows > 4 * nnz or dense_temp_bytes > (2 << 30):
         return sparse_ftrl_update

@@ -193,7 +193,9 @@ class Model:
         # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
         g_lin = (gs[:, None] * batch.vals).reshape(-1)
         ids = batch.feats.reshape(-1)
-        lin_update = select_ftrl_update(state.lin_n.shape[0], 1, ids.shape[0])
+        lin_update = select_ftrl_update(
+            state.lin_n.shape[0], 1, ids.shape[0], self.cfg.update_mode
+        )
         lin_n, lin_z, lin_w = lin_update(
             state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
         )
@@ -203,7 +205,10 @@ class Model:
         if g_vec is not None:
             g_vec = g_vec.reshape(-1, state.vec_w.shape[-1])  # [B*F, D]
             vec_update = select_ftrl_update(
-                state.vec_n.shape[0], state.vec_n.shape[1], ids.shape[0]
+                state.vec_n.shape[0],
+                state.vec_n.shape[1],
+                ids.shape[0],
+                self.cfg.update_mode,
             )
             vec_n, vec_z, vec_w = vec_update(
                 state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g_vec * g_vec, p
@@ -238,6 +243,16 @@ class Model:
         logits = self.predict_logits(state, batch)
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         return jnp.sum(per_loss), jnp.sum(batch.sample_w), logits
+
+    def has_zero_weights(self, state: ModelState) -> bool:
+        """True if L1 has produced exact zeros among *touched* linear weights
+        — the reference's sparsification check (utils::has_zero_weights,
+        src/include/utils/utils.h:63-76, asserted after training in
+        tests/test_task.cpp)."""
+        # untouched rows are zero by construction here (the reference keeps a
+        # nonzero gaussian init on untouched rows), so restrict to touched
+        touched = state.lin_n > 0
+        return bool(jnp.any(jnp.logical_and(touched, state.lin_w == 0.0)))
 
     # ---- export (reference weight-layout materialization) ----
     def _export_vec_layout(self, vec_w):

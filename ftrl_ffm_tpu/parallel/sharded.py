@@ -34,6 +34,8 @@ from ftrl_ffm_tpu.ftrl import (
     ftrl_accumulate,
     ftrl_weights,
     scatter_grads,
+    select_ftrl_update,
+    sparse_ftrl_update,
 )
 from ftrl_ffm_tpu.models.base import (
     Batch,
@@ -190,8 +192,27 @@ class ShardedStep:
         return logits, gs[:, None, None] * dv
 
     def _table_update(self, n_tab, z_tab, w_tab, ids_flat, g, g2):
-        """Local dense scatter-add + psum("data") + fused closed-form pass."""
+        """Global FTRL step on this device's table shard.
+
+        Dense mode: local scatter-add into table-shaped accumulators +
+        psum("data") (the classic dense-grad all-reduce) + fused closed-form
+        pass.  Sparse mode (huge table shards): all_gather the (id, g, g^2)
+        stream over "data" so each shard sees the whole global batch, then
+        update touched local rows only — O(global nnz) temps instead of
+        O(R_local)."""
         tab_rows = n_tab.shape[0]
+        row_width = n_tab.shape[1] if n_tab.ndim > 1 else 1
+        global_nnz = ids_flat.shape[0] * self.mesh.shape["data"]
+        update = select_ftrl_update(
+            tab_rows, row_width, global_nnz, self.cfg.update_mode
+        )
+        if update is sparse_ftrl_update:
+            ids_g = jax.lax.all_gather(ids_flat, "data", axis=0, tiled=True)
+            g_g = jax.lax.all_gather(g, "data", axis=0, tiled=True)
+            g2_g = jax.lax.all_gather(g2, "data", axis=0, tiled=True)
+            lid, mask = self._local_lookup_mask(tab_rows, ids_g)
+            lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> dropped
+            return sparse_ftrl_update(n_tab, z_tab, w_tab, lid, g_g, g2_g, self.params)
         lid, mask = self._local_lookup_mask(tab_rows, ids_flat)
         lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> drop sentinel
         sum_g, sum_g2 = scatter_grads(n_tab.shape, lid, g, g2)

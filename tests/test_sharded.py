@@ -143,3 +143,32 @@ def test_trainer_with_mesh_matches_single_device(tmp_path):
     np.testing.assert_allclose(h1["train_loss"], h2["train_loss"], rtol=1e-5)
     np.testing.assert_allclose(h1["eval_loss"], h2["eval_loss"], rtol=1e-5)
     np.testing.assert_allclose(h1["eval_auc"], h2["eval_auc"], rtol=1e-4)
+
+
+@pytest.mark.parametrize("model_type", ["LR", "FFM"])
+def test_sharded_sparse_update_matches_single_device(model_type):
+    """update_mode=sparse: all_gather (id, g) stream + touched-rows update
+    must equal the single-device sparse step."""
+    cfg = _cfg(model_type, update_mode="sparse")
+    model = make_model(cfg)
+    rng = np.random.default_rng(4)
+    arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats, cfg.n_fields)
+    batch = Batch(*(jnp.asarray(a) for a in arrays))
+    out1 = model.train_step(model.init(), batch)
+
+    mesh = make_mesh(4, 2)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    sstate, logits, loss_sum, count = step.train_step(sstate, step.place_batch(arrays))
+    r = cfg.n_feats
+    np.testing.assert_allclose(
+        np.asarray(sstate.lin_z)[:r], np.asarray(out1.state.lin_z), rtol=1e-4, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
+    )
+    if model_type != "LR":
+        np.testing.assert_allclose(
+            np.asarray(sstate.vec_z)[:r], np.asarray(out1.state.vec_z),
+            rtol=1e-4, atol=1e-7,
+        )

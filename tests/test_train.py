@@ -172,3 +172,43 @@ def test_steps_per_call_sharded(tmp_path):
     hm = tm.train()
     np.testing.assert_allclose(h1["train_loss"], hm["train_loss"], rtol=1e-5)
     np.testing.assert_allclose(h1["eval_loss"], hm["eval_loss"], rtol=1e-5)
+
+
+def test_has_zero_weights_after_training(tmp_path):
+    """Reference tests/test_task.cpp asserts has_zero_weights after training."""
+    path = str(tmp_path / "t.ffm")
+    rng = np.random.default_rng(5)
+    with open(path, "w") as f:
+        for _ in range(128):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 50))}:1" for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    cfg = Config(
+        train_data=path, model_type="FFM", n_fields=4, n_feats=50,
+        n_factors=2, batch_size=16, n_epochs=2, w_alpha=0.05, w_l1=0.15,
+    )
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.model.has_zero_weights(tr.state)
+
+
+def test_profile_dir_writes_trace(tmp_path):
+    import os
+
+    path = str(tmp_path / "t.ffm")
+    rng = np.random.default_rng(6)
+    with open(path, "w") as f:
+        for _ in range(32):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 50))}:1" for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    prof = str(tmp_path / "trace")
+    cfg = Config(train_data=path, model_type="LR", n_feats=50, n_fields=4,
+                 batch_size=16, n_epochs=1)
+    Trainer(cfg).train(profile_dir=prof)
+    found = []
+    for root, _, files in os.walk(prof):
+        found.extend(files)
+    assert found, "jax.profiler trace produced no files"
