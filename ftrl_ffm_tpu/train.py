@@ -58,6 +58,15 @@ class Trainer:
         enable_compilation_cache()
         if not cfg.file_type and cfg.train_data:
             cfg.file_type = detect_file_type(cfg.train_data)
+        if cfg.cmd and not cfg.file_type:
+            raise ValueError(
+                "--cmd (stdin) streaming cannot auto-detect the format; "
+                "pass --file_type libsvm|libffm"
+            )
+        if cfg.cmd and cfg.max_nnz <= 0:
+            raise ValueError(
+                "--cmd (stdin) streaming cannot sniff nnz; pass --max_nnz"
+            )
         cfg.validate_file_type()
         if cfg.max_nnz <= 0 and cfg.train_data:
             cfg.max_nnz = sniff_max_nnz(cfg.train_data, cfg.file_type)
