@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also export weights as a reference-compatible zstd blob")
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler trace of epoch 1 here")
+    p.add_argument("--predict_data", default="",
+                   help="after training, score this file")
+    p.add_argument("--predict_output", default="predictions.txt",
+                   help="output path for --predict_data probabilities")
     # ---- multi-host (SPMD over DCN; one process per host) ----
     p.add_argument("--coordinator_address", default="",
                    help="jax.distributed coordinator host:port (multi-host)")
@@ -93,6 +97,8 @@ _NON_CONFIG_FLAGS = (
     "load_model",
     "export_reference_model",
     "profile_dir",
+    "predict_data",
+    "predict_output",
     "coordinator_address",
     "num_processes",
     "process_id",
@@ -132,6 +138,9 @@ def main(argv: list[str] | None = None) -> int:
     trainer.train(profile_dir=args.profile_dir or None)
     print(f"total time: {time.perf_counter() - t0:.4f}s")
 
+    if args.predict_data:
+        n = trainer.predict_file(args.predict_data, args.predict_output)
+        print(f"wrote {n} predictions to {args.predict_output}")
     if cfg.model_path:
         from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
 

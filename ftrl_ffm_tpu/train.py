@@ -358,6 +358,42 @@ class Trainer:
         acc.update(*jax.device_get((loss_sum, count)))
         return acc.mean
 
+    def predict_file(self, data_path: str, out_path: str) -> int:
+        """Score a libsvm/libffm file: one sigmoid probability per line.
+
+        New capability vs the reference (which can only eval log-loss).
+        Returns the number of samples scored."""
+        cfg = self.cfg
+        reader = StreamReader(
+            data_path,
+            cfg.file_type or detect_file_type(data_path),
+            cfg.batch_size,
+            cfg.max_nnz,
+            cfg.n_feats,
+            cfg.n_fields,
+            n_parse_threads=cfg.n_threads,
+        )
+        total = 0
+        with open(out_path, "w") as f:
+            for arrays in reader.batches():
+                batch = self._device_batch(arrays)
+                if self._sharded is not None:
+                    _, _, logits = self._sharded.eval_step(self.state, batch)
+                else:
+                    _, _, logits = self._eval_plain(self.state, batch)
+                probs = np.asarray(jax.nn.sigmoid(logits), np.float64)
+                mask = np.asarray(arrays[4]) > 0  # drop padded tail samples
+                for p in probs[mask]:
+                    f.write(f"{p:.6f}\n")
+                total += int(mask.sum())
+        return total
+
+    @property
+    def _eval_plain(self):
+        if not hasattr(self, "_eval_plain_jit"):
+            self._eval_plain_jit = jax.jit(self.model.eval_step)
+        return self._eval_plain_jit
+
     def _save_mid_checkpoint(self, step: int) -> None:
         """Periodic full-state checkpoint (new capability vs the reference,
         which has no mid-training checkpointing — SURVEY §5)."""

@@ -147,3 +147,21 @@ def test_cli_end_to_end_with_checkpoint(tmp_path, capsys):
     ])
     assert rc == 0
     assert "resumed" in capsys.readouterr().out
+
+
+def test_cli_predict_output(tmp_path, capsys):
+    from ftrl_ffm_tpu.cli import main
+
+    data = str(tmp_path / "train.ffm")
+    _write_ffm_file(data, n=50)
+    out = str(tmp_path / "preds.txt")
+    rc = main([
+        "--train_data", data, "--model_type", "FFM",
+        "--n_fields", str(N_FIELDS), "--n_feats", str(N_FEATS),
+        "--n_factors", str(K), "--batch_size", "16",
+        "--predict_data", data, "--predict_output", out,
+    ])
+    assert rc == 0
+    preds = [float(x) for x in open(out)]
+    assert len(preds) == 50
+    assert all(0.0 < p < 1.0 for p in preds)
