@@ -98,6 +98,10 @@ def scatter_grads(
 
     (Measured on TPU: two independent scatters beat one concatenated-column
     scatter — the concat materializes an extra [N, 2D] tensor.)
+
+    ids may be multi-dimensional (e.g. [B, F]); g/g2 then carry the same
+    leading dims ([B, F] or [B, F, D]) — scattering with batched index dims
+    avoids materializing flattening reshapes of the big gradient tensors.
     """
     zeros = jnp.zeros(shape, dtype=g.dtype)
     sum_g = zeros.at[ids].add(g, mode="drop")

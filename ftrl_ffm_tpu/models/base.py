@@ -169,50 +169,73 @@ class Model:
         return jax.nn.sigmoid(self.predict_logits(state, batch))
 
     def _train_logits_gvec(self, state: ModelState, batch: Batch):
-        """(logits, g_vec) for one train step; g_vec [B, F, D] is the factor
-        gradient already scaled by gs = (sigmoid(logit) - y) * sample_w, or
-        None for LR.  Subclasses may fuse this (FFM Pallas kernel)."""
+        """(logits, g_vec, g2_vec) for one train step; g_vec [B, F, D] is the
+        factor gradient already scaled by gs = (sigmoid(logit) - y) *
+        sample_w (None for LR); g2_vec is its elementwise square when the
+        fused kernel provides it (None -> computed by the caller).
+        Subclasses may fuse this (FFM Pallas kernel)."""
         logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
         if dlogit_dv is None:
-            return logits, None
+            return logits, None, None
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
         g_vec = gs[:, None, None] * dlogit_dv.reshape(
             dlogit_dv.shape[0], dlogit_dv.shape[1], -1
         )
-        return logits, g_vec
+        return logits, g_vec, None
 
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
+        from ftrl_ffm_tpu.ftrl import sparse_ftrl_update
+
         p = self.params
         batch = widen_batch(batch)
-        logits, g_vec = self._train_logits_gvec(state, batch)
+        logits, g_vec, g2_vec = self._train_logits_gvec(state, batch)
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 
         # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
-        g_lin = (gs[:, None] * batch.vals).reshape(-1)
-        ids = batch.feats.reshape(-1)
+        # Dense updates take the batch-shaped [B, F] ids/grads directly
+        # (batched-index scatter — avoids materializing flattening reshapes);
+        # the sparse path sorts and needs a flat stream.
+        g_lin = gs[:, None] * batch.vals  # [B, F]
+        ids = batch.feats                 # [B, F]
+        nnz = ids.shape[0] * ids.shape[1]
         lin_update = select_ftrl_update(
-            state.lin_n.shape[0], 1, ids.shape[0], self.cfg.update_mode
+            state.lin_n.shape[0], 1, nnz, self.cfg.update_mode
         )
-        lin_n, lin_z, lin_w = lin_update(
-            state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
-        )
+        if lin_update is sparse_ftrl_update:
+            g_flat = g_lin.reshape(-1)
+            lin_n, lin_z, lin_w = lin_update(
+                state.lin_n, state.lin_z, state.lin_w,
+                ids.reshape(-1), g_flat, g_flat * g_flat, p,
+            )
+        else:
+            lin_n, lin_z, lin_w = lin_update(
+                state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
+            )
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if g_vec is not None:
-            g_vec = g_vec.reshape(-1, state.vec_w.shape[-1])  # [B*F, D]
+            d = state.vec_w.shape[-1]
+            g_vec = g_vec.reshape(ids.shape[0], ids.shape[1], d)
+            if g2_vec is None:
+                g2_vec = g_vec * g_vec
+            else:
+                g2_vec = g2_vec.reshape(ids.shape[0], ids.shape[1], d)
             vec_update = select_ftrl_update(
-                state.vec_n.shape[0],
-                state.vec_n.shape[1],
-                ids.shape[0],
-                self.cfg.update_mode,
+                state.vec_n.shape[0], d, nnz, self.cfg.update_mode
             )
-            vec_n, vec_z, vec_w = vec_update(
-                state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g_vec * g_vec, p
-            )
+            if vec_update is sparse_ftrl_update:
+                vec_n, vec_z, vec_w = vec_update(
+                    state.vec_n, state.vec_z, state.vec_w,
+                    ids.reshape(-1), g_vec.reshape(-1, d), g2_vec.reshape(-1, d), p,
+                )
+            else:
+                vec_n, vec_z, vec_w = vec_update(
+                    state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g2_vec, p
+                )
 
         count = jnp.sum(batch.sample_w)
         new_state = ModelState(

@@ -48,7 +48,7 @@ class FFM(Model):
         w = self._gather_linear(state, batch.feats)
         lin = linear_logits(w, batch.vals, self.bias_weight(state))
         v = self._gather_vec(state, batch.feats)  # [B, F, C*K]
-        logits, g_vec = ffm_fused_logits_grads(
+        logits, g_vec, g2_vec = ffm_fused_logits_grads(
             v,
             batch.fields,
             batch.vals,
@@ -59,7 +59,7 @@ class FFM(Model):
             self.n_factors,
             compute_grads=True,
         )
-        return logits, g_vec
+        return logits, g_vec, g2_vec
 
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         w = self._gather_linear(state, batch.feats)

@@ -44,6 +44,7 @@ def _ffm_fused_kernel(
     v_ref,       # [TB, F, E] f32, E = K*C factor-major
     logits_ref,  # out [TB, 1] f32
     g_ref,       # out [TB, F, E] f32
+    g2_ref,      # out [TB, F, E] f32 (elementwise g^2, for the FTRL n-acc)
     *,
     n_fields: int,
     n_factors: int,
@@ -97,9 +98,12 @@ def _ffm_fused_kernel(
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )                                                # [TB, F, E]
-        g_ref[:] = gx[:, :, None] * (t - oh_e * xv)
+        g = gx[:, :, None] * (t - oh_e * xv)
+        g_ref[:] = g
+        g2_ref[:] = g * g
     else:
         g_ref[:] = jnp.zeros_like(g_ref)
+        g2_ref[:] = jnp.zeros_like(g2_ref)
 
 
 @functools.partial(
@@ -121,16 +125,17 @@ def ffm_fused_logits_grads(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused FFM logits + per-occurrence grads.
 
-    Returns (logits [B], g [B, F, E]) where g is already scaled by
-    gs = (sigmoid(logit) - y) * sample_w — ready for the FTRL scatter.
+    Returns (logits [B], g [B, F, E], g2 [B, F, E]) where g is already scaled
+    by gs = (sigmoid(logit) - y) * sample_w and g2 = g*g — both ready for the
+    FTRL scatter (emitting g^2 from VMEM saves a 2x[B,F,E] HBM mul pass).
     """
     b, f, e = v.shape
     c = n_fields
     if block_b <= 0:
-        # VMEM: v in + g out (double-buffered) ~ 4*TB*F*E*4 bytes, plus the
-        # [K, TB, C, C] scratch; keep the streaming buffers under ~8 MB.
+        # VMEM: v in + g/g2 out, double-buffered (~6 blocks), plus live
+        # temporaries; keep the streaming buffers under ~12 MB.
         block_b = 128
-        while block_b > 8 and (b % block_b or 4 * block_b * f * e * 4 > 8 << 20):
+        while block_b > 8 and (b % block_b or 6 * block_b * f * e * 4 > 12 << 20):
             block_b //= 2
     if b % block_b:
         raise ValueError(f"batch {b} not divisible by block_b {block_b}")
@@ -150,15 +155,21 @@ def ffm_fused_logits_grads(
         (block_b, f, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     col = lambda x: x.reshape(b, 1)
-    logits, g = pl.pallas_call(
+    logits, g, g2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[row_spec, row_spec, scalar_spec, scalar_spec, scalar_spec, v_spec],
-        out_specs=[scalar_spec, v_spec],
+        out_specs=[scalar_spec, v_spec, v_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
             jax.ShapeDtypeStruct((b, f, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, f, e), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # three [TB, F, E] streaming buffers (double-buffered) plus
+            # temporaries exceed the 16 MB default scoped-vmem budget
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(fields, vals, col(lin), col(y), col(sample_w), v)
-    return logits[:, 0], g
+    return logits[:, 0], g, g2

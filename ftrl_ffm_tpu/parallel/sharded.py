@@ -187,11 +187,11 @@ class ShardedStep:
             )
         logits, dv = self._logits_and_grads(state, batch, train=True)
         if dv is None:
-            return logits, None
+            return logits, None, None
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
-        return logits, gs[:, None, None] * dv
+        return logits, gs[:, None, None] * dv, None
 
-    def _table_update(self, n_tab, z_tab, w_tab, ids_flat, g, g2):
+    def _table_update(self, n_tab, z_tab, w_tab, ids, g, g2):
         """Global FTRL step on this device's table shard.
 
         Dense mode: local scatter-add into table-shaped accumulators +
@@ -199,21 +199,26 @@ class ShardedStep:
         pass.  Sparse mode (huge table shards): all_gather the (id, g, g^2)
         stream over "data" so each shard sees the whole global batch, then
         update touched local rows only — O(global nnz) temps instead of
-        O(R_local)."""
+        O(R_local).  ids may be batch-shaped [b, F] (dense scatters use
+        batched index dims); the sparse path flattens."""
         tab_rows = n_tab.shape[0]
         row_width = n_tab.shape[1] if n_tab.ndim > 1 else 1
-        global_nnz = ids_flat.shape[0] * self.mesh.shape["data"]
+        nnz_local = ids.shape[0] * (ids.shape[1] if ids.ndim > 1 else 1)
+        global_nnz = nnz_local * self.mesh.shape["data"]
         update = select_ftrl_update(
             tab_rows, row_width, global_nnz, self.cfg.update_mode
         )
         if update is sparse_ftrl_update:
+            ids_flat = ids.reshape(-1)
+            g_flat = g.reshape(nnz_local, -1) if g.ndim > 2 else g.reshape(-1)
+            g2_flat = g2.reshape(nnz_local, -1) if g2.ndim > 2 else g2.reshape(-1)
             ids_g = jax.lax.all_gather(ids_flat, "data", axis=0, tiled=True)
-            g_g = jax.lax.all_gather(g, "data", axis=0, tiled=True)
-            g2_g = jax.lax.all_gather(g2, "data", axis=0, tiled=True)
+            g_g = jax.lax.all_gather(g_flat, "data", axis=0, tiled=True)
+            g2_g = jax.lax.all_gather(g2_flat, "data", axis=0, tiled=True)
             lid, mask = self._local_lookup_mask(tab_rows, ids_g)
             lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> dropped
             return sparse_ftrl_update(n_tab, z_tab, w_tab, lid, g_g, g2_g, self.params)
-        lid, mask = self._local_lookup_mask(tab_rows, ids_flat)
+        lid, mask = self._local_lookup_mask(tab_rows, ids)
         lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> drop sentinel
         sum_g, sum_g2 = scatter_grads(n_tab.shape, lid, g, g2)
         sum_g = jax.lax.psum(sum_g, "data")
@@ -226,7 +231,7 @@ class ShardedStep:
     def _train_step(self, state: ModelState, batch: Batch):
         p = self.params
         batch = widen_batch(batch)
-        logits, g_vec = self._train_logits_gvec(state, batch)
+        logits, g_vec, g2_vec = self._train_logits_gvec(state, batch)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [b]
 
         # Bias: global grad sums over "data", replicated update.
@@ -237,17 +242,18 @@ class ShardedStep:
             state.bias_n, state.bias_z, bias_w, sum_g, sum_g2, p
         )
 
-        ids_flat = batch.feats.reshape(-1)
-        g_lin = (gs[:, None] * batch.vals).reshape(-1)
+        ids = batch.feats  # [b, F]
+        g_lin = gs[:, None] * batch.vals
         lin_n, lin_z, lin_w = self._table_update(
-            state.lin_n, state.lin_z, state.lin_w, ids_flat, g_lin, g_lin * g_lin
+            state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin
         )
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if g_vec is not None:
-            g_vec = g_vec.reshape(-1, g_vec.shape[-1])
+            if g2_vec is None:
+                g2_vec = g_vec * g_vec
             vec_n, vec_z, vec_w = self._table_update(
-                state.vec_n, state.vec_z, state.vec_w, ids_flat, g_vec, g_vec * g_vec
+                state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g2_vec
             )
 
         count = jax.lax.psum(jnp.sum(batch.sample_w), "data")

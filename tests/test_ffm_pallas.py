@@ -24,7 +24,7 @@ def test_fused_kernel_matches_xla(b, f, c, k):
     gs = (jax.nn.sigmoid(logits_ref) - y) * sw
     g_ref = gs[:, None, None] * dv
 
-    logits, g = ffm_fused_logits_grads(
+    logits, g, g2 = ffm_fused_logits_grads(
         v, fields, vals, lin, y, sw, c, k, compute_grads=True,
         block_b=8, interpret=True,
     )
@@ -33,6 +33,9 @@ def test_fused_kernel_matches_xla(b, f, c, k):
     )
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g2), np.asarray(g) ** 2, rtol=1e-6, atol=1e-9
     )
 
 
@@ -46,8 +49,9 @@ def test_fused_kernel_padding_inert():
     lin = jnp.zeros((b,), jnp.float32)
     y = jnp.ones((b,), jnp.float32)
     sw = jnp.zeros((b,), jnp.float32)      # all samples padded
-    logits, g = ffm_fused_logits_grads(
+    logits, g, g2 = ffm_fused_logits_grads(
         v, fields, vals, lin, y, sw, c, k, block_b=8, interpret=True
     )
     assert float(jnp.abs(g).sum()) == 0.0
+    assert float(jnp.abs(g2).sum()) == 0.0
     np.testing.assert_allclose(np.asarray(logits), 0.0, atol=1e-7)
