@@ -195,47 +195,30 @@ class Model:
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 
         # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
-        # Dense updates take the batch-shaped [B, F] ids/grads directly
-        # (batched-index scatter — avoids materializing flattening reshapes);
-        # the sparse path sorts and needs a flat stream.
-        g_lin = gs[:, None] * batch.vals  # [B, F]
-        ids = batch.feats                 # [B, F]
-        nnz = ids.shape[0] * ids.shape[1]
+        # Flat [nnz] streams keep the gather->kernel->scatter chain in one
+        # row-major 2-D layout (avoids relayout copies on TPU).
+        g_lin = (gs[:, None] * batch.vals).reshape(-1)
+        ids = batch.feats.reshape(-1)
+        nnz = ids.shape[0]
         lin_update = select_ftrl_update(
             state.lin_n.shape[0], 1, nnz, self.cfg.update_mode
         )
-        if lin_update is sparse_ftrl_update:
-            g_flat = g_lin.reshape(-1)
-            lin_n, lin_z, lin_w = lin_update(
-                state.lin_n, state.lin_z, state.lin_w,
-                ids.reshape(-1), g_flat, g_flat * g_flat, p,
-            )
-        else:
-            lin_n, lin_z, lin_w = lin_update(
-                state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
-            )
+        lin_n, lin_z, lin_w = lin_update(
+            state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
+        )
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if g_vec is not None:
             d = state.vec_w.shape[-1]
-            g_vec = g_vec.reshape(ids.shape[0], ids.shape[1], d)
-            if g2_vec is None:
-                g2_vec = g_vec * g_vec
-            else:
-                g2_vec = g2_vec.reshape(ids.shape[0], ids.shape[1], d)
+            g_vec = g_vec.reshape(nnz, d)
+            g2_vec = g_vec * g_vec if g2_vec is None else g2_vec.reshape(nnz, d)
             vec_update = select_ftrl_update(
                 state.vec_n.shape[0], d, nnz, self.cfg.update_mode
             )
-            if vec_update is sparse_ftrl_update:
-                vec_n, vec_z, vec_w = vec_update(
-                    state.vec_n, state.vec_z, state.vec_w,
-                    ids.reshape(-1), g_vec.reshape(-1, d), g2_vec.reshape(-1, d), p,
-                )
-            else:
-                vec_n, vec_z, vec_w = vec_update(
-                    state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g2_vec, p
-                )
+            vec_n, vec_z, vec_w = vec_update(
+                state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g2_vec, p
+            )
 
         count = jnp.sum(batch.sample_w)
         new_state = ModelState(

@@ -47,7 +47,8 @@ class FFM(Model):
 
         w = self._gather_linear(state, batch.feats)
         lin = linear_logits(w, batch.vals, self.bias_weight(state))
-        v = self._gather_vec(state, batch.feats)  # [B, F, C*K]
+        # flat [B*F, E] gather: single 2-D row-major stream into the kernel
+        v = self._gather_vec(state, batch.feats.reshape(-1))
         logits, g_vec, g2_vec = ffm_fused_logits_grads(
             v,
             batch.fields,

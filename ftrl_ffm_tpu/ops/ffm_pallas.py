@@ -41,19 +41,22 @@ def _ffm_fused_kernel(
     lin_ref,     # [TB, 1] f32 (bias + linear logits)
     y_ref,       # [TB, 1] f32
     sw_ref,      # [TB, 1] f32
-    v_ref,       # [TB, F, E] f32, E = K*C factor-major
+    v_ref,       # [TB*F, E] f32, E = K*C factor-major (2-D: the gathered-row
+                 # stream keeps its natural row-major layout end to end)
     logits_ref,  # out [TB, 1] f32
-    g_ref,       # out [TB, F, E] f32
-    g2_ref,      # out [TB, F, E] f32 (elementwise g^2, for the FTRL n-acc)
+    g_ref,       # out [TB*F, E] f32
+    g2_ref,      # out [TB*F, E] f32 (elementwise g^2, for the FTRL n-acc)
     *,
     n_fields: int,
     n_factors: int,
     compute_grads: bool,
 ):
     c, k = n_fields, n_factors
-    tb, f, e = v_ref.shape
+    tb, f = fields_ref.shape
+    e = v_ref.shape[-1]
 
-    v = v_ref[:]                      # [TB, F, E]
+    # leading-dims reshape (minor dim untouched — Mosaic-supported)
+    v = v_ref[:].reshape(tb, f, e)    # [TB, F, E]
     vals = vals_ref[:]                # [TB, F]
     field_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, f, c), 2)
     onehot = (fields_ref[:][:, :, None] == field_ids).astype(jnp.float32)
@@ -99,8 +102,8 @@ def _ffm_fused_kernel(
             preferred_element_type=jnp.float32,
         )                                                # [TB, F, E]
         g = gx[:, :, None] * (t - oh_e * xv)
-        g_ref[:] = g
-        g2_ref[:] = g * g
+        g_ref[:] = g.reshape(tb * f, e)
+        g2_ref[:] = (g * g).reshape(tb * f, e)
     else:
         g_ref[:] = jnp.zeros_like(g_ref)
         g2_ref[:] = jnp.zeros_like(g2_ref)
@@ -111,7 +114,7 @@ def _ffm_fused_kernel(
     static_argnames=("n_fields", "n_factors", "compute_grads", "block_b", "interpret"),
 )
 def ffm_fused_logits_grads(
-    v: jax.Array,        # [B, F, E] gathered factor rows (factor-major)
+    v: jax.Array,        # [B*F, E] gathered factor rows (factor-major)
     fields: jax.Array,   # [B, F] int32
     vals: jax.Array,     # [B, F] f32
     lin: jax.Array,      # [B] bias + linear logits
@@ -125,11 +128,14 @@ def ffm_fused_logits_grads(
 ) -> tuple[jax.Array, jax.Array]:
     """Fused FFM logits + per-occurrence grads.
 
-    Returns (logits [B], g [B, F, E], g2 [B, F, E]) where g is already scaled
+    Returns (logits [B], g [B*F, E], g2 [B*F, E]) where g is already scaled
     by gs = (sigmoid(logit) - y) * sample_w and g2 = g*g — both ready for the
-    FTRL scatter (emitting g^2 from VMEM saves a 2x[B,F,E] HBM mul pass).
+    flat-id FTRL scatter (emitting g^2 from VMEM saves an HBM mul pass; 2-D
+    in/out keeps the gather->kernel->scatter chain in one row-major layout,
+    avoiding relayout copies around the custom call).
     """
-    b, f, e = v.shape
+    b, f = fields.shape
+    e = v.shape[-1]
     c = n_fields
     if block_b <= 0:
         # VMEM: v in + g/g2 out, double-buffered (~6 blocks), plus live
@@ -152,7 +158,7 @@ def ffm_fused_logits_grads(
     # 128-multiples on TPU, rank-2 (TB, 1) blocks are fine
     scalar_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec(
-        (block_b, f, e), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (block_b * f, e), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     col = lambda x: x.reshape(b, 1)
     logits, g, g2 = pl.pallas_call(
@@ -162,8 +168,8 @@ def ffm_fused_logits_grads(
         out_specs=[scalar_spec, v_spec, v_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b, f, e), jnp.float32),
-            jax.ShapeDtypeStruct((b, f, e), jnp.float32),
+            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
+            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             # three [TB, F, E] streaming buffers (double-buffered) plus

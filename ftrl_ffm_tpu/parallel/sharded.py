@@ -173,7 +173,7 @@ class ShardedStep:
             bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
             w_lin = self._lookup_linear(state.lin_w, batch.feats)
             lin = linear_logits(w_lin, batch.vals, bias_w)
-            v = self._lookup_vec(state.vec_w, batch.feats)
+            v = self._lookup_vec(state.vec_w, batch.feats.reshape(-1))
             return ffm_fused_logits_grads(
                 v,
                 batch.fields,
@@ -209,12 +209,9 @@ class ShardedStep:
             tab_rows, row_width, global_nnz, self.cfg.update_mode
         )
         if update is sparse_ftrl_update:
-            ids_flat = ids.reshape(-1)
-            g_flat = g.reshape(nnz_local, -1) if g.ndim > 2 else g.reshape(-1)
-            g2_flat = g2.reshape(nnz_local, -1) if g2.ndim > 2 else g2.reshape(-1)
-            ids_g = jax.lax.all_gather(ids_flat, "data", axis=0, tiled=True)
-            g_g = jax.lax.all_gather(g_flat, "data", axis=0, tiled=True)
-            g2_g = jax.lax.all_gather(g2_flat, "data", axis=0, tiled=True)
+            ids_g = jax.lax.all_gather(ids, "data", axis=0, tiled=True)
+            g_g = jax.lax.all_gather(g, "data", axis=0, tiled=True)
+            g2_g = jax.lax.all_gather(g2, "data", axis=0, tiled=True)
             lid, mask = self._local_lookup_mask(tab_rows, ids_g)
             lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> dropped
             return sparse_ftrl_update(n_tab, z_tab, w_tab, lid, g_g, g2_g, self.params)
@@ -242,16 +239,17 @@ class ShardedStep:
             state.bias_n, state.bias_z, bias_w, sum_g, sum_g2, p
         )
 
-        ids = batch.feats  # [b, F]
-        g_lin = gs[:, None] * batch.vals
+        ids = batch.feats.reshape(-1)  # flat [b*F]
+        g_lin = (gs[:, None] * batch.vals).reshape(-1)
         lin_n, lin_z, lin_w = self._table_update(
             state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin
         )
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if g_vec is not None:
-            if g2_vec is None:
-                g2_vec = g_vec * g_vec
+            d = state.vec_w.shape[-1]
+            g_vec = g_vec.reshape(ids.shape[0], d)
+            g2_vec = g_vec * g_vec if g2_vec is None else g2_vec.reshape(ids.shape[0], d)
             vec_n, vec_z, vec_w = self._table_update(
                 state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g2_vec
             )
