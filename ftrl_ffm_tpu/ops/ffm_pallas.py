@@ -125,7 +125,7 @@ def ffm_fused_logits_grads(
     compute_grads: bool = True,
     block_b: int = 0,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused FFM logits + per-occurrence grads.
 
     Returns (logits [B], g [B*F, E], g2 [B*F, E]) where g is already scaled
@@ -136,7 +136,6 @@ def ffm_fused_logits_grads(
     """
     b, f = fields.shape
     e = v.shape[-1]
-    c = n_fields
     if block_b <= 0:
         # VMEM: v in + g/g2 out, double-buffered (~6 blocks), plus live
         # temporaries; keep the streaming buffers under ~12 MB.
