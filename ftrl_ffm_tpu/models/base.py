@@ -186,8 +186,6 @@ class Model:
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
-        from ftrl_ffm_tpu.ftrl import sparse_ftrl_update
-
         p = self.params
         batch = widen_batch(batch)
         logits, g_vec, g2_vec = self._train_logits_gvec(state, batch)
