@@ -50,6 +50,11 @@ class Config:
     #     factors actually train (alphaFM-style).  Strictly better log-loss.
     factor_semantics: str = "keep_init"
     compute_dtype: str = "float32"   # logit compute dtype ("float32"|"bfloat16")
+    # Storage dtype for the materialized factor weight table vec_w.  The
+    # FTRL accumulators (n, z) always stay float32 — only the gathered
+    # forward weights are quantized.  bfloat16 halves the dominant
+    # gather/scatter HBM traffic; weights round to 8 mantissa bits.
+    table_dtype: str = "float32"     # "float32" | "bfloat16"
     use_pallas: str = "auto"         # "auto" (TPU only) | "on" | "off"
     # Compact host->device transfer: fields int8/int16, values bfloat16,
     # labels/sample weights int8 (widened on device).  Cuts upload bytes
@@ -80,6 +85,8 @@ class Config:
             raise ValueError(f"invalid factor_semantics: {self.factor_semantics}")
         if self.update_mode not in ("auto", "dense", "sparse"):
             raise ValueError(f"invalid update_mode: {self.update_mode}")
+        if self.table_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"invalid table_dtype: {self.table_dtype}")
 
     # Width of one feature row in the factor table.
     @property

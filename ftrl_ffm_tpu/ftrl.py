@@ -137,9 +137,10 @@ def dense_ftrl_update(
       src/model/ftrl_model.cpp:52-59 / src/model/ffm.cpp:72-88).
     """
     sum_g, sum_g2 = scatter_grads(n_tab.shape, ids, g, g2)
-    new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_tab, sum_g, sum_g2, p)
-    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_tab)
-    return new_n, new_z, new_w
+    w_f32 = w_tab.astype(n_tab.dtype)
+    new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, p)
+    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_f32)
+    return new_n, new_z, new_w.astype(w_tab.dtype)
 
 
 def sparse_ftrl_update(
@@ -180,14 +181,14 @@ def sparse_ftrl_update(
 
     n_rows = jnp.take(n_tab, uniq, axis=0, mode="clip")
     z_rows = jnp.take(z_tab, uniq, axis=0, mode="clip")
-    w_rows = jnp.take(w_tab, uniq, axis=0, mode="clip")
+    w_rows = jnp.take(w_tab, uniq, axis=0, mode="clip").astype(n_rows.dtype)
     new_n, new_z = ftrl_accumulate(n_rows, z_rows, w_rows, sum_g, sum_g2, p)
     new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_rows)
 
     kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
     n_tab = n_tab.at[uniq].set(new_n, **kw)
     z_tab = z_tab.at[uniq].set(new_z, **kw)
-    w_tab = w_tab.at[uniq].set(new_w, **kw)
+    w_tab = w_tab.at[uniq].set(new_w.astype(w_tab.dtype), **kw)
     return n_tab, z_tab, w_tab
 
 

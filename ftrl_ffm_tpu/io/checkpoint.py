@@ -23,6 +23,7 @@ import json
 import struct
 
 import jax.numpy as jnp
+import ml_dtypes  # registers bfloat16 with numpy for checkpoint round-trips
 import numpy as np
 import zstandard
 

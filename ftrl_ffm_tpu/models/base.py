@@ -114,11 +114,12 @@ class Model:
         if self.row_width:
             vec_n = jnp.zeros((r, self.row_width), jnp.float32)
             vec_z = jnp.zeros((r, self.row_width), jnp.float32)
+            w_dtype = jnp.dtype(self.cfg.table_dtype)
             if self.cfg.factor_semantics == "reference":
                 # reference lazy materialization: first touch writes
                 # w = f(n=0, z=0) = 0, so factors never leave zero
                 # (src/model/ffm.cpp:72-88) — init is irrelevant.
-                vec_w = jnp.zeros((r, self.row_width), jnp.float32)
+                vec_w = jnp.zeros((r, self.row_width), w_dtype)
             else:
                 # Gaussian init like utils::init_weights
                 # (reference: src/include/utils/utils.h:38-61), kept until a
@@ -127,7 +128,7 @@ class Model:
                     self.cfg.init_mean
                     + self.cfg.init_stddev
                     * jax.random.normal(key, (r, self.row_width), jnp.float32)
-                )
+                ).astype(w_dtype)
         else:
             vec_n = vec_z = vec_w = None
         return ModelState(
@@ -149,7 +150,8 @@ class Model:
         return jnp.take(state.lin_w, feats, mode="clip")
 
     def _gather_vec(self, state: ModelState, feats: jax.Array):
-        return jnp.take(state.vec_w, feats, axis=0, mode="clip")
+        # bf16 tables halve the gather's HBM traffic; compute stays f32
+        return jnp.take(state.vec_w, feats, axis=0, mode="clip").astype(jnp.float32)
 
     def bias_weight(self, state: ModelState) -> jax.Array:
         return ftrl_weights(state.bias_n, state.bias_z, self.params)

@@ -129,8 +129,14 @@ class ShardedStep:
 
     def _lookup_vec(self, vec_w, ids):
         lid, mask = self._local_lookup_mask(vec_w.shape[0], ids)
-        w = jnp.where(mask[..., None], jnp.take(vec_w, lid, axis=0), 0.0)
-        return jax.lax.psum(w, "model")
+        w = jnp.where(
+            mask[..., None],
+            jnp.take(vec_w, lid, axis=0),
+            jnp.zeros((), vec_w.dtype),
+        )
+        # each element is owned by exactly one shard (others contribute 0),
+        # so a bf16 psum is exact; compute continues in f32
+        return jax.lax.psum(w, "model").astype(jnp.float32)
 
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         cfg = self.cfg
@@ -220,9 +226,10 @@ class ShardedStep:
         sum_g, sum_g2 = scatter_grads(n_tab.shape, lid, g, g2)
         sum_g = jax.lax.psum(sum_g, "data")
         sum_g2 = jax.lax.psum(sum_g2, "data")
-        new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_tab, sum_g, sum_g2, self.params)
-        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, self.params), w_tab)
-        return new_n, new_z, new_w
+        w_f32 = w_tab.astype(n_tab.dtype)
+        new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, self.params)
+        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, self.params), w_f32)
+        return new_n, new_z, new_w.astype(w_tab.dtype)
 
     # ---- steps (bodies run per device under shard_map) ----
     def _train_step(self, state: ModelState, batch: Batch):

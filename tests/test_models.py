@@ -208,3 +208,34 @@ def test_training_sparsifies_weights():
         ).state
     _, lin_w, _ = model.materialize_weights(state)
     assert np.any(np.asarray(lin_w) == 0.0)
+
+
+def test_bfloat16_table_dtype_trains_and_roundtrips(tmp_path):
+    """table_dtype=bfloat16: vec_w stored quantized, (n, z) stay f32; training
+    works and checkpoints round-trip the dtype."""
+    import jax.numpy as jnp
+    from ftrl_ffm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = Config(
+        model_type="FFM", n_feats=N_FEATS, n_fields=N_FIELDS, n_factors=K,
+        table_dtype="bfloat16",
+    )
+    model = make_model(cfg)
+    state = model.init()
+    assert state.vec_w.dtype == jnp.bfloat16
+    assert state.vec_n.dtype == jnp.float32
+    rng = np.random.default_rng(21)
+    for _ in range(5):
+        state = model.train_step(
+            state, make_batch(random_samples(rng, 8), 6, N_FEATS, batch_size=8)
+        ).state
+    assert state.vec_w.dtype == jnp.bfloat16
+    assert float(jnp.abs(state.vec_z).sum()) > 0  # factors actually trained
+    p = str(tmp_path / "bf16.ckpt")
+    save_checkpoint(p, state)
+    loaded, _ = load_checkpoint(p)
+    assert loaded.vec_w.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(state.vec_w, dtype=np.float32),
+        np.asarray(loaded.vec_w, dtype=np.float32),
+    )
