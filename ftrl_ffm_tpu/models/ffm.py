@@ -65,6 +65,15 @@ class FFM(Model):
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         w = self._gather_linear(state, batch.feats)
         lin = linear_logits(w, batch.vals, self.bias_weight(state))
+        if not train and self._use_pallas() and batch.feats.shape[0] % 8 == 0:
+            # inference-only fused kernel: the serving/eval hot path
+            from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
+
+            v = self._gather_vec(state, batch.feats.reshape(-1))
+            logits = ffm_fused_logits(
+                v, batch.fields, batch.vals, lin, self.n_fields, self.n_factors
+            )
+            return logits, None
         v = self._gather_vec(state, batch.feats)  # [B, F, C*K]
         logits, dlogit_dv = ffm_logits_and_grads(
             v,

@@ -178,3 +178,85 @@ def ffm_fused_logits_grads(
         interpret=interpret,
     )(fields, vals, col(lin), col(y), col(sample_w), v)
     return logits[:, 0], g, g2
+
+
+def _ffm_logits_kernel(
+    fields_ref,  # [TB, F] int32
+    vals_ref,    # [TB, F] f32
+    lin_ref,     # [TB, 1] f32
+    v_ref,       # [TB*F, E] f32
+    logits_ref,  # out [TB, 1] f32
+    *,
+    n_fields: int,
+    n_factors: int,
+):
+    c, k = n_fields, n_factors
+    tb, f = fields_ref.shape
+    e = v_ref.shape[-1]
+
+    v = v_ref[:].reshape(tb, f, e)
+    vals = vals_ref[:]
+    field_ids = jax.lax.broadcasted_iota(jnp.int32, (tb, f, c), 2)
+    onehot = (fields_ref[:][:, :, None] == field_ids).astype(jnp.float32)
+    xoh = onehot * vals[:, :, None]
+    s = jax.lax.dot_general(
+        xoh, v,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    s_t = jnp.concatenate(
+        [jnp.swapaxes(s[:, :, kk * c : (kk + 1) * c], 1, 2) for kk in range(k)],
+        axis=2,
+    )
+    slot_field = jax.lax.broadcasted_iota(jnp.int32, (tb, f, e), 2) % c
+    oh_e = (fields_ref[:][:, :, None] == slot_field).astype(jnp.float32)
+    xv = v * vals[:, :, None]
+    self_sq = jnp.sum(jnp.sum(oh_e * xv * xv, axis=2), axis=1, keepdims=True)
+    cross = jnp.sum(jnp.sum(s * s_t, axis=2), axis=1, keepdims=True)
+    logits_ref[:] = lin_ref[:] + 0.5 * (cross - self_sq)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fields", "n_factors", "block_b", "interpret")
+)
+def ffm_fused_logits(
+    v: jax.Array,        # [B*F, E] gathered factor rows (factor-major)
+    fields: jax.Array,   # [B, F] int32
+    vals: jax.Array,     # [B, F] f32
+    lin: jax.Array,      # [B] bias + linear logits
+    n_fields: int,
+    n_factors: int,
+    block_b: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Inference-only FFM logits — the serving/eval hot path.
+
+    Same math as the training kernel minus the gradient outputs: HBM traffic
+    collapses to one read of v (no [B*F, E] writes at all)."""
+    b, f = fields.shape
+    e = v.shape[-1]
+    if block_b <= 0:
+        block_b = 128
+        while block_b > 8 and (b % block_b or 2 * block_b * f * e * 4 > 12 << 20):
+            block_b //= 2
+    if b % block_b:
+        raise ValueError(f"batch {b} not divisible by block_b {block_b}")
+
+    kernel = functools.partial(
+        _ffm_logits_kernel, n_fields=n_fields, n_factors=n_factors
+    )
+    row_spec = pl.BlockSpec((block_b, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((block_b * f, e), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    logits = pl.pallas_call(
+        kernel,
+        grid=(b // block_b,),
+        in_specs=[row_spec, row_spec, scalar_spec, v_spec],
+        out_specs=scalar_spec,
+        out_shape=jax.ShapeDtypeStruct((b, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(fields, vals, lin.reshape(b, 1), v)
+    return logits[:, 0]

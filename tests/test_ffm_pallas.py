@@ -58,3 +58,20 @@ def test_fused_kernel_padding_inert():
     assert float(jnp.abs(g).sum()) == 0.0
     assert float(jnp.abs(g2).sum()) == 0.0
     np.testing.assert_allclose(np.asarray(logits), 0.0, atol=1e-7)
+
+
+def test_inference_kernel_matches_xla():
+    from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
+
+    b, f, c, k = 16, 5, 4, 8
+    rng = np.random.default_rng(4)
+    e = c * k
+    v = jnp.asarray(rng.normal(size=(b, f, e)).astype(np.float32) * 0.1)
+    fields = jnp.asarray(rng.integers(0, c, (b, f)).astype(np.int32))
+    vals = jnp.asarray(rng.random((b, f)).astype(np.float32))
+    lin = jnp.asarray(rng.normal(size=(b,)).astype(np.float32) * 0.1)
+    ref, _ = ffm_logits_and_grads(v, fields, vals, lin, c, k, False)
+    got = ffm_fused_logits(
+        v.reshape(b * f, e), fields, vals, lin, c, k, block_b=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
