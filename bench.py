@@ -96,6 +96,9 @@ def main() -> None:
                 "value": round(eps, 1),
                 "unit": "examples/s",
                 "vs_baseline": round(eps / BASELINE_EXAMPLES_PER_S, 3),
+                # the measured C++ baseline ran 4 threads = all cores of this
+                # host (the north star's nominal baseline is 8-thread)
+                "baseline_note": "C++ reference, 4 threads (all cores of this host)",
             }
         )
     )

@@ -64,6 +64,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--factor_semantics", default="keep_init",
                    help="keep_init | reference (see Config)")
+    p.add_argument("--update_mode", default="auto",
+                   choices=("auto", "dense", "sparse"),
+                   help="FTRL table update strategy (see Config.update_mode)")
+    p.add_argument("--table_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="storage dtype for the factor weight table vec_w")
+    p.add_argument("--use_pallas", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="fused TPU kernel for the FFM step (auto = TPU only)")
+    p.add_argument("--compact_transfer", type=_str2bool, default=True,
+                   help="narrow host->device upload dtypes (lossless only)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="train steps per device dispatch (>1 scans)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis size (0 = all remaining devices)")
     p.add_argument("--mesh_model", type=int, default=1,

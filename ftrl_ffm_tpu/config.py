@@ -49,7 +49,6 @@ class Config:
     #   "keep_init": untouched coordinates (n == 0) keep their random init so
     #     factors actually train (alphaFM-style).  Strictly better log-loss.
     factor_semantics: str = "keep_init"
-    compute_dtype: str = "float32"   # logit compute dtype ("float32"|"bfloat16")
     # Storage dtype for the materialized factor weight table vec_w.  The
     # FTRL accumulators (n, z) always stay float32 — only the gathered
     # forward weights are quantized.  bfloat16 halves the dominant

@@ -89,8 +89,10 @@ class StreamReader:
                     lines.append(ln)
                     if len(lines) >= self.chunk_lines:
                         q.put(pool.submit(parse, lines))
-                        seen += len(lines)
-                        if self.log_every and seen % self.log_every == 0:
+                        prev, seen = seen, seen + len(lines)
+                        # threshold-crossing check: fires for any chunk_lines,
+                        # not only when it divides log_every
+                        if self.log_every and seen // self.log_every > prev // self.log_every:
                             print(f"processing {seen} examples")
                         lines = []
                 if lines:

@@ -185,7 +185,10 @@ def sparse_ftrl_update(
     new_n, new_z = ftrl_accumulate(n_rows, z_rows, w_rows, sum_g, sum_g2, p)
     new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_rows)
 
-    kw = dict(mode="drop", indices_are_sorted=True, unique_indices=True)
+    # NOT unique_indices=True: uniq repeats the drop sentinel in every slot
+    # past the last run, and duplicate indices under unique_indices=True are
+    # documented undefined behavior even when all duplicates get dropped.
+    kw = dict(mode="drop", indices_are_sorted=True)
     n_tab = n_tab.at[uniq].set(new_n, **kw)
     z_tab = z_tab.at[uniq].set(new_z, **kw)
     w_tab = w_tab.at[uniq].set(new_w.astype(w_tab.dtype), **kw)

@@ -12,6 +12,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Shared histogram width for streaming AUC: every producer of bucket counts
+# (Trainer, ShardedStep) must use the same value or the merge is silently
+# wrong.  Error is O(1/AUC_BINS).
+AUC_BINS = 8192
+
 
 class LossAccumulator:
     """Host-side double-precision mean of per-batch loss sums

@@ -271,8 +271,15 @@ class Model:
         (reference: src/model/ffm.cpp:138-147).  w tables are stored, so this
         is a read-out; untouched factor rows hold the init under keep_init
         semantics (zero under reference semantics), untouched linear rows 0.
+
+        Tables are sliced to the logical n_feats: under mesh_model sharding
+        pad_state_tables may have zero-padded rows to a multiple of the shard
+        count, and the reference blob layout (import side slices at fixed
+        offsets 1:1+n_feats) must not see the padding.
         """
+        n = self.cfg.n_feats
+        lin_w = state.lin_w[:n]
         vec_w = state.vec_w
         if vec_w is not None:
-            vec_w = self._export_vec_layout(vec_w)
-        return self.bias_weight(state), state.lin_w, vec_w
+            vec_w = self._export_vec_layout(vec_w[:n])
+        return self.bias_weight(state), lin_w, vec_w

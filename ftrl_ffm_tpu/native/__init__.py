@@ -1,34 +1,50 @@
 """Native (C++) fast path for text parsing.
 
-Loads `libftrlparse.so`, building it from parser.cpp on first use if needed
-(g++ -O3).  All entry points degrade gracefully: `lib()` returns None when no
-toolchain is available and callers fall back to the pure-numpy parser.
+Builds `libftrlparse-<hash>.so` from parser.cpp on first use (g++ -O3) into a
+per-user cache dir, where <hash> is the sha256 of the source — no opaque
+binary ships in the repo, and a stale build can never shadow a modified
+parser.cpp (content hash, not mtimes, decides staleness).  All entry points
+degrade gracefully: `lib()` returns None when no toolchain is available and
+callers fall back to the pure-numpy parser.
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "parser.cpp")
-_SO = os.path.join(_HERE, "libftrlparse.so")
 
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _tried = False
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache = os.environ.get(
+        "FTRL_FFM_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "ftrl_ffm_tpu_native"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    return os.path.join(cache, f"libftrlparse-{digest}.so")
+
+
+def _build(so: str) -> bool:
+    tmp = so + f".tmp{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", _SO, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC],
             check=True,
             capture_output=True,
             timeout=120,
         )
+        os.replace(tmp, so)  # atomic: concurrent builders race safely
         return True
     except (OSError, subprocess.SubprocessError):
         return False
@@ -43,11 +59,14 @@ def lib() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
-                return None
         try:
-            cdll = ctypes.CDLL(_SO)
+            so = _so_path()
+        except OSError:
+            return None
+        if not os.path.exists(so) and not _build(so):
+            return None
+        try:
+            cdll = ctypes.CDLL(so)
         except OSError:
             return None
         cdll.ftrl_parse_chunk.restype = ctypes.c_int64

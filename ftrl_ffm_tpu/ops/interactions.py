@@ -111,7 +111,12 @@ def ffm_logits_and_grads(
     xoh = onehot * vals[..., None]  # [B, F, C]
     # s[b, c, (k,d)] = S[c, d, k] = sum_{m: field_m = c} x_m * v_m[factor k,
     # field d] — one batched matmul contracting the occurrence axis.
-    s = jnp.einsum("bmc,bme->bce", xoh, v)  # [B, C, E]
+    # precision=HIGHEST: on TPU an f32 einsum defaults to bf16 MXU multiplies;
+    # f32 reference parity is sensitive to the lost mantissa bits, and this
+    # module is the declared numerical ground truth for the Pallas kernel.
+    s = jnp.einsum(
+        "bmc,bme->bce", xoh, v, precision=jax.lax.Precision.HIGHEST
+    )  # [B, C, E]
     # Swap the bucket/target field roles: s_t[b, d, (k,c)] = s[b, c, (k,d)].
     s_t = (
         s.reshape(b, c, k, c).transpose(0, 3, 2, 1).reshape(b, c, e)
@@ -130,6 +135,8 @@ def ffm_logits_and_grads(
         return logits, None
 
     # T[b, m, (k,c)] = S[c, field_m, k] = sum_d onehot[b,m,d] * s_t[b,d,(k,c)]
-    t = jnp.einsum("bmd,bde->bme", onehot, s_t)  # [B, F, E]
+    t = jnp.einsum(
+        "bmd,bde->bme", onehot, s_t, precision=jax.lax.Precision.HIGHEST
+    )  # [B, F, E]
     dlogit_dv = vals[..., None] * (t - oh_e * xv)
     return logits, dlogit_dv

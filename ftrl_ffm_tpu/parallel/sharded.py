@@ -295,9 +295,7 @@ class ShardedStep:
         return state, jnp.sum(ls), jnp.sum(ct)
 
     def _eval_multi(self, state: ModelState, batches: Batch):
-        from ftrl_ffm_tpu.metrics import StreamingAUC
-
-        bins = 8192
+        from ftrl_ffm_tpu.metrics import AUC_BINS as bins, StreamingAUC
 
         def body(carry, b):
             ls0, ct0, pos0, neg0 = carry

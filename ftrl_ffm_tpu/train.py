@@ -22,11 +22,9 @@ from ftrl_ffm_tpu.config import Config, detect_file_type
 from ftrl_ffm_tpu.data.loader import batch_iterator, load_file
 from ftrl_ffm_tpu.data.parser import sniff_max_nnz
 from ftrl_ffm_tpu.data.stream import StreamReader
-from ftrl_ffm_tpu.metrics import LossAccumulator, StreamingAUC
+from ftrl_ffm_tpu.metrics import AUC_BINS, LossAccumulator, StreamingAUC
 from ftrl_ffm_tpu.models import Batch, make_model
 from ftrl_ffm_tpu.models.base import ModelState
-
-AUC_BINS = 8192
 
 _cache_enabled = False
 
@@ -56,8 +54,11 @@ def enable_compilation_cache() -> None:
 class Trainer:
     def __init__(self, cfg: Config, state: Optional[ModelState] = None):
         enable_compilation_cache()
-        if not cfg.file_type and cfg.train_data:
-            cfg.file_type = detect_file_type(cfg.train_data)
+        # eval-/predict-only Trainers (no train_data) sniff format and nnz
+        # from eval_data instead of silently building zero-width batches
+        sniff_src = cfg.train_data or cfg.eval_data
+        if not cfg.file_type and sniff_src:
+            cfg.file_type = detect_file_type(sniff_src)
         if cfg.cmd and not cfg.file_type:
             raise ValueError(
                 "--cmd (stdin) streaming cannot auto-detect the format; "
@@ -68,8 +69,13 @@ class Trainer:
                 "--cmd (stdin) streaming cannot sniff nnz; pass --max_nnz"
             )
         cfg.validate_file_type()
-        if cfg.max_nnz <= 0 and cfg.train_data:
-            cfg.max_nnz = sniff_max_nnz(cfg.train_data, cfg.file_type)
+        if cfg.max_nnz <= 0 and sniff_src:
+            cfg.max_nnz = sniff_max_nnz(sniff_src, cfg.file_type)
+        if cfg.max_nnz <= 0 and not cfg.cmd:
+            raise ValueError(
+                "max_nnz unknown: pass --max_nnz or provide train/eval data "
+                "to sniff it from"
+            )
         self.cfg = cfg
         self.model = make_model(cfg)
         self.state = state if state is not None else self.model.init()
@@ -200,7 +206,13 @@ class Trainer:
 
     def _compact(self, arrays):
         """Narrow upload dtypes (see Config.compact_transfer); the jitted
-        steps widen on device (models/base.py::widen_batch)."""
+        steps widen on device (models/base.py::widen_batch).
+
+        Lossless only: each narrowing is applied per batch only when the
+        round-trip is exact (checked on host — cheap next to the upload it
+        saves), so compacting never changes training numerics.  CTR data
+        (1.0-valued categoricals, {0,1} labels/weights) always compacts;
+        real-valued features ride as f32."""
         if not self.cfg.compact_transfer:
             return arrays
         import ml_dtypes
@@ -211,12 +223,18 @@ class Trainer:
             if self.cfg.n_fields <= 127
             else np.int16 if self.cfg.n_fields <= 32767 else np.int32
         )
+        vals_bf16 = vals.astype(ml_dtypes.bfloat16)
+        if not np.array_equal(vals_bf16.astype(np.float32), vals):
+            vals_bf16 = vals  # not exactly representable: keep f32
+        sw_i8 = sample_w.astype(np.int8)
+        if not np.array_equal(sw_i8.astype(np.float32), sample_w):
+            sw_i8 = sample_w  # fractional sample weights: keep f32
         return (
             fields.astype(fdt),
             feats,
-            vals.astype(ml_dtypes.bfloat16),
-            y.astype(np.int8),
-            sample_w.astype(np.int8),
+            vals_bf16,
+            y.astype(np.int8),  # labels are binarized {0,1} at parse time
+            sw_i8,
         )
 
     def _device_batch(self, arrays) -> Batch:

@@ -212,3 +212,62 @@ def test_profile_dir_writes_trace(tmp_path):
     for root, _, files in os.walk(prof):
         found.extend(files)
     assert found, "jax.profiler trace produced no files"
+
+def test_eval_only_trainer_sniffs_from_eval_data(tmp_path):
+    """VERDICT weak #3: a Trainer built without train_data must sniff
+    file_type/max_nnz from eval_data instead of scoring zero-width batches."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    evalp = write_fixture(tmp_path / "eval.ffm", "libffm", seed=1)
+    tr = Trainer(_cfg(train, evalp, True))
+    tr.train()
+
+    eval_only = Trainer(_cfg("", evalp, True), state=tr.state)
+    assert eval_only.cfg.max_nnz == tr.cfg.max_nnz
+    loss, auc = eval_only.evaluate()
+    assert np.isfinite(loss)
+    # and with no data at all it must raise, not degenerate
+    with pytest.raises(ValueError, match="max_nnz"):
+        Trainer(_cfg("", "", True))
+
+
+def test_cli_update_mode_sparse(tmp_path, capsys):
+    from ftrl_ffm_tpu.cli import main
+
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    rc = main([
+        "--train_data", str(train), "--model_type", "FFM",
+        "--n_fields", str(FIXTURE_FIELDS), "--n_feats", str(FIXTURE_FEATS),
+        "--n_factors", "4", "--batch_size", "16",
+        "--update_mode", "sparse", "--use_pallas", "off",
+        "--table_dtype", "float32", "--compact_transfer", "false",
+        "--steps_per_call", "2",
+    ])
+    assert rc == 0
+    assert "epoch 1 train time" in capsys.readouterr().out
+
+
+def test_compact_transfer_lossless_only(tmp_path):
+    """ADVICE: compacting must not quantize real-valued features or
+    fractional sample weights — those batches ride as f32."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, compact_transfer=True))
+    fields = np.zeros((4, 2), np.int32)
+    feats = np.zeros((4, 2), np.int32)
+    y = np.zeros(4, np.float32)
+    ones = np.ones(4, np.float32)
+    # exactly representable values -> compacted
+    vals = np.full((4, 2), 1.0, np.float32)
+    out = tr._compact((fields, feats, vals, y, ones))
+    assert out[2].dtype != np.float32 and out[4].dtype == np.int8
+    # non-representable values / fractional weights -> kept f32
+    vals = np.full((4, 2), 0.123456, np.float32)
+    half = np.full(4, 0.5, np.float32)
+    out = tr._compact((fields, feats, vals, y, half))
+    assert out[2].dtype == np.float32 and out[4].dtype == np.float32
+
+
+def test_compact_roundtrip_loss_identical(tmp_path):
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    h1 = Trainer(_cfg(train, "", True, compact_transfer=True)).train()
+    h2 = Trainer(_cfg(train, "", True, compact_transfer=False)).train()
+    assert h1["train_loss"] == h2["train_loss"]
