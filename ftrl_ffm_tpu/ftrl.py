@@ -195,6 +195,88 @@ def sparse_ftrl_update(
     return n_tab, z_tab, w_tab
 
 
+def dense_ftrl_update2(
+    n_tab: jax.Array,
+    z_tab: jax.Array,
+    w_tab: jax.Array,
+    ids: jax.Array,
+    gg2: jax.Array,
+    p: FtrlParams,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """dense_ftrl_update with a combined (g || g^2) payload: ONE scatter.
+
+    gg2: [N, 2*D] with g in lanes [:D] and g^2 in [D:] (D = row width; the
+    FFM Pallas kernel emits this layout directly, so no concat materializes).
+    One scatter into a [R, 2*D] accumulator halves the scatter count and
+    doubles the per-row DMA size vs two separate G/G2 scatters — the scatter
+    is descriptor-rate-bound on TPU, so this is ~2x on the dominant cost of
+    the train step (measured; see BASELINE.md).
+    """
+    d2 = gg2.shape[-1]
+    d = d2 // 2
+    acc = jnp.zeros((n_tab.shape[0], d2), gg2.dtype).at[ids].add(gg2, mode="drop")
+    if n_tab.ndim == 1:
+        sum_g, sum_g2 = acc[:, 0], acc[:, 1]
+    else:
+        sum_g, sum_g2 = acc[:, :d], acc[:, d:]
+    w_f32 = w_tab.astype(n_tab.dtype)
+    new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, p)
+    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_f32)
+    return new_n, new_z, new_w.astype(w_tab.dtype)
+
+
+def sparse_ftrl_update2(
+    n_tab: jax.Array,
+    z_tab: jax.Array,
+    w_tab: jax.Array,
+    ids: jax.Array,
+    gg2: jax.Array,
+    p: FtrlParams,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """sparse_ftrl_update with a combined (g || g^2) payload.
+
+    One take + one segment_sum over [N, 2*D] instead of two of each — half
+    the payload passes of the split form.
+    """
+    num = ids.shape[0]
+    d2 = gg2.shape[-1]
+    d = d2 // 2
+    order = jnp.argsort(ids)
+    sids = jnp.take(ids, order)
+    sgg2 = jnp.take(gg2, order, axis=0)
+
+    is_start = jnp.concatenate([jnp.ones((1,), bool), sids[1:] != sids[:-1]])
+    seg = jnp.cumsum(is_start) - 1
+    sums = jax.ops.segment_sum(sgg2, seg, num_segments=num, indices_are_sorted=True)
+
+    sentinel = n_tab.shape[0]
+    uniq = jnp.full((num,), sentinel, dtype=ids.dtype).at[seg].set(
+        sids, mode="drop", unique_indices=False
+    )
+
+    n_rows = jnp.take(n_tab, uniq, axis=0, mode="clip")
+    z_rows = jnp.take(z_tab, uniq, axis=0, mode="clip")
+    w_rows = jnp.take(w_tab, uniq, axis=0, mode="clip").astype(n_rows.dtype)
+    if n_tab.ndim == 1:
+        sum_g, sum_g2 = sums[:, 0], sums[:, 1]
+    else:
+        sum_g, sum_g2 = sums[:, :d], sums[:, d:]
+    new_n, new_z = ftrl_accumulate(n_rows, z_rows, w_rows, sum_g, sum_g2, p)
+    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_rows)
+
+    kw = dict(mode="drop", indices_are_sorted=True)
+    n_tab = n_tab.at[uniq].set(new_n, **kw)
+    z_tab = z_tab.at[uniq].set(new_z, **kw)
+    w_tab = w_tab.at[uniq].set(new_w.astype(w_tab.dtype), **kw)
+    return n_tab, z_tab, w_tab
+
+
+def select_ftrl_update2(n_rows: int, row_width: int, nnz: int, mode: str = "auto"):
+    """Combined-payload variant of select_ftrl_update (same thresholds)."""
+    f = select_ftrl_update(n_rows, row_width, nnz, mode)
+    return dense_ftrl_update2 if f is dense_ftrl_update else sparse_ftrl_update2
+
+
 def select_ftrl_update(n_rows: int, row_width: int, nnz: int, mode: str = "auto"):
     """dense_ftrl_update for small tables, sparse for huge ones.
 

@@ -24,7 +24,7 @@ from ftrl_ffm_tpu.ftrl import (
     FtrlParams,
     bias_update,
     ftrl_weights,
-    select_ftrl_update,
+    select_ftrl_update2,
 )
 
 
@@ -34,13 +34,19 @@ class Batch(NamedTuple):
     Padding convention: padded occurrences have value 0.0, field 0 and
     feature id == n_feats (a drop sentinel for scatters; gathers clip).
     Padded *samples* (batch remainder) additionally have sample_w 0.0.
+
+    Transfer compaction (Config.compact_transfer) may narrow dtypes and
+    delta-encode feats: when feats_base is set, feats holds uint16 deltas
+    against per-column bases feats_base[:F], with delta 65535 reserved for
+    the padding sentinel feats_base[F].  widen_batch decodes on device.
     """
 
-    fields: jax.Array  # [B, F] int32
-    feats: jax.Array   # [B, F] int32
-    vals: jax.Array    # [B, F] float32
-    y: jax.Array       # [B] float32 in {0, 1}
-    sample_w: jax.Array  # [B] float32 in {0, 1}
+    fields: jax.Array  # [B, F] int32 (or int8/int16 compacted)
+    feats: jax.Array   # [B, F] int32 (or uint16 deltas, see feats_base)
+    vals: jax.Array    # [B, F] float32 (or int8/bfloat16 when exact)
+    y: jax.Array       # [B] float32 in {0, 1} (or int8)
+    sample_w: jax.Array  # [B] float32 (or int8 when integral)
+    feats_base: Optional[jax.Array] = None  # [F+1] int32: bases + sentinel
 
 
 class ModelState(NamedTuple):
@@ -76,13 +82,22 @@ class TrainOut(NamedTuple):
 def widen_batch(b: Batch) -> Batch:
     """Cast a (possibly transfer-compacted) batch to canonical dtypes.
 
-    The host pipeline may upload fields as int8/int16, values as bfloat16 and
-    labels/sample weights as int8 to cut host->HBM transfer bytes
-    (Config.compact_transfer); widening on device is free (fused casts).
-    No-op for already-canonical batches."""
+    The host pipeline may upload fields as int8/int16, values as
+    int8/bfloat16, labels/sample weights as int8, and feature ids as uint16
+    deltas against per-column bases to cut host->HBM transfer bytes
+    (Config.compact_transfer); widening on device is free (fused casts +
+    one [B, F] add).  No-op for already-canonical batches."""
+    feats = b.feats.astype(jnp.int32)
+    # decode keys off the (trace-static) dtype: uint16 feats are deltas; a
+    # feats_base rides along even when unused (sharded pytrees need a stable
+    # structure) and is ignored for int32 feats
+    if b.feats_base is not None and b.feats.dtype == jnp.uint16:
+        base = b.feats_base[..., :-1]   # [F] per-column id base
+        sent = b.feats_base[..., -1:]   # [1] the padding sentinel (n_feats)
+        feats = jnp.where(feats == 65535, sent, base + feats)
     return Batch(
         fields=b.fields.astype(jnp.int32),
-        feats=b.feats.astype(jnp.int32),
+        feats=feats,
         vals=b.vals.astype(jnp.float32),
         y=b.y.astype(jnp.float32),
         sample_w=b.sample_w.astype(jnp.float32),
@@ -170,27 +185,29 @@ class Model:
     def predict_proba(self, state: ModelState, batch: Batch) -> jax.Array:
         return jax.nn.sigmoid(self.predict_logits(state, batch))
 
-    def _train_logits_gvec(self, state: ModelState, batch: Batch):
-        """(logits, g_vec, g2_vec) for one train step; g_vec [B, F, D] is the
-        factor gradient already scaled by gs = (sigmoid(logit) - y) *
-        sample_w (None for LR); g2_vec is its elementwise square when the
-        fused kernel provides it (None -> computed by the caller).
-        Subclasses may fuse this (FFM Pallas kernel)."""
+    def _train_logits_gg2(self, state: ModelState, batch: Batch):
+        """(logits, gg2_vec) for one train step.  gg2_vec [B*F, 2D] carries
+        the factor gradient (already scaled by gs = (sigmoid(logit) - y) *
+        sample_w) in lanes [:D] and its elementwise square in [D:] — the
+        combined payload for the single FTRL scatter (None for LR).
+        Subclasses may fuse this (FFM Pallas kernel emits the layout
+        directly); this XLA fallback builds it with one concatenate."""
         logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
         if dlogit_dv is None:
-            return logits, None, None
+            return logits, None
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
         g_vec = gs[:, None, None] * dlogit_dv.reshape(
             dlogit_dv.shape[0], dlogit_dv.shape[1], -1
         )
-        return logits, g_vec, None
+        g_vec = g_vec.reshape(g_vec.shape[0] * g_vec.shape[1], -1)
+        return logits, jnp.concatenate([g_vec, g_vec * g_vec], axis=-1)
 
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
         p = self.params
         batch = widen_batch(batch)
-        logits, g_vec, g2_vec = self._train_logits_gvec(state, batch)
+        logits, gg2_vec = self._train_logits_gg2(state, batch)
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 
@@ -200,24 +217,23 @@ class Model:
         g_lin = (gs[:, None] * batch.vals).reshape(-1)
         ids = batch.feats.reshape(-1)
         nnz = ids.shape[0]
-        lin_update = select_ftrl_update(
+        gg2_lin = jnp.stack([g_lin, g_lin * g_lin], axis=-1)  # [nnz, 2]
+        lin_update = select_ftrl_update2(
             state.lin_n.shape[0], 1, nnz, self.cfg.update_mode
         )
         lin_n, lin_z, lin_w = lin_update(
-            state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin, p
+            state.lin_n, state.lin_z, state.lin_w, ids, gg2_lin, p
         )
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
-        if g_vec is not None:
+        if gg2_vec is not None:
             d = state.vec_w.shape[-1]
-            g_vec = g_vec.reshape(nnz, d)
-            g2_vec = g_vec * g_vec if g2_vec is None else g2_vec.reshape(nnz, d)
-            vec_update = select_ftrl_update(
+            vec_update = select_ftrl_update2(
                 state.vec_n.shape[0], d, nnz, self.cfg.update_mode
             )
             vec_n, vec_z, vec_w = vec_update(
-                state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g2_vec, p
+                state.vec_n, state.vec_z, state.vec_w, ids, gg2_vec, p
             )
 
         count = jnp.sum(batch.sample_w)

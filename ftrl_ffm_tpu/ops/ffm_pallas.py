@@ -44,8 +44,9 @@ def _ffm_fused_kernel(
     v_ref,       # [TB*F, E] f32, E = K*C factor-major (2-D: the gathered-row
                  # stream keeps its natural row-major layout end to end)
     logits_ref,  # out [TB, 1] f32
-    g_ref,       # out [TB*F, E] f32
-    g2_ref,      # out [TB*F, E] f32 (elementwise g^2, for the FTRL n-acc)
+    gg2_ref,     # out [TB*F, 2E] f32: g in lanes [:E], g^2 in [E:] — the
+                 # combined payload feeds ONE FTRL scatter (ftrl.py::
+                 # dense_ftrl_update2) instead of two
     *,
     n_fields: int,
     n_factors: int,
@@ -102,11 +103,11 @@ def _ffm_fused_kernel(
             preferred_element_type=jnp.float32,
         )                                                # [TB, F, E]
         g = gx[:, :, None] * (t - oh_e * xv)
-        g_ref[:] = g.reshape(tb * f, e)
-        g2_ref[:] = (g * g).reshape(tb * f, e)
+        g = g.reshape(tb * f, e)
+        gg2_ref[:, :e] = g
+        gg2_ref[:, e:] = g * g
     else:
-        g_ref[:] = jnp.zeros_like(g_ref)
-        g2_ref[:] = jnp.zeros_like(g2_ref)
+        gg2_ref[:] = jnp.zeros_like(gg2_ref)
 
 
 @functools.partial(
@@ -125,19 +126,20 @@ def ffm_fused_logits_grads(
     compute_grads: bool = True,
     block_b: int = 0,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array]:
     """Fused FFM logits + per-occurrence grads.
 
-    Returns (logits [B], g [B*F, E], g2 [B*F, E]) where g is already scaled
-    by gs = (sigmoid(logit) - y) * sample_w and g2 = g*g — both ready for the
-    flat-id FTRL scatter (emitting g^2 from VMEM saves an HBM mul pass; 2-D
-    in/out keeps the gather->kernel->scatter chain in one row-major layout,
-    avoiding relayout copies around the custom call).
+    Returns (logits [B], gg2 [B*F, 2E]) where gg2[:, :E] is the factor grad
+    already scaled by gs = (sigmoid(logit) - y) * sample_w and gg2[:, E:] is
+    its elementwise square — the combined payload for the single FTRL
+    scatter (ftrl.py::dense_ftrl_update2).  Emitting g^2 from VMEM saves an
+    HBM mul pass; 2-D in/out keeps the gather->kernel->scatter chain in one
+    row-major layout, avoiding relayout copies around the custom call.
     """
     b, f = fields.shape
     e = v.shape[-1]
     if block_b <= 0:
-        # VMEM: v in + g/g2 out, double-buffered (~6 blocks), plus live
+        # VMEM: v in + gg2 out, double-buffered (~6 block-units), plus live
         # temporaries; keep the streaming buffers under ~12 MB.
         block_b = 128
         while block_b > 8 and (b % block_b or 6 * block_b * f * e * 4 > 12 << 20):
@@ -159,25 +161,32 @@ def ffm_fused_logits_grads(
     v_spec = pl.BlockSpec(
         (block_b * f, e), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
+    gg2_spec = pl.BlockSpec(
+        (block_b * f, 2 * e), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     col = lambda x: x.reshape(b, 1)
-    logits, g, g2 = pl.pallas_call(
+    # A direct gather -> Mosaic-custom-call edge deadlocks at runtime on the
+    # current TPU runtime (device never completes the program); the barrier
+    # forces the gathered rows to materialize as a plain buffer first.
+    # Zero-cost: the [B*F, E] gather output materializes either way.
+    v = jax.lax.optimization_barrier(v)
+    logits, gg2 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[row_spec, row_spec, scalar_spec, scalar_spec, scalar_spec, v_spec],
-        out_specs=[scalar_spec, v_spec, v_spec],
+        out_specs=[scalar_spec, gg2_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
-            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
+            jax.ShapeDtypeStruct((b * f, 2 * e), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            # three [TB, F, E] streaming buffers (double-buffered) plus
+            # three [TB, F, E]-unit streaming buffers (double-buffered) plus
             # temporaries exceed the 16 MB default scoped-vmem budget
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(fields, vals, col(lin), col(y), col(sample_w), v)
-    return logits[:, 0], g, g2
+    return logits[:, 0], gg2
 
 
 def _ffm_logits_kernel(
@@ -248,6 +257,8 @@ def ffm_fused_logits(
     row_spec = pl.BlockSpec((block_b, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec((block_b * f, e), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # see ffm_fused_logits_grads: gather -> custom call must not fuse
+    v = jax.lax.optimization_barrier(v)
     logits = pl.pallas_call(
         kernel,
         grid=(b // block_b,),

@@ -24,12 +24,12 @@ def test_fused_kernel_matches_xla(b, f, c, k):
     gs = (jax.nn.sigmoid(logits_ref) - y) * sw
     g_ref = gs[:, None, None] * dv
 
-    logits, g, g2 = ffm_fused_logits_grads(
+    logits, gg2 = ffm_fused_logits_grads(
         v.reshape(b * f, e), fields, vals, lin, y, sw, c, k,
         compute_grads=True, block_b=8, interpret=True,
     )
-    g = g.reshape(b, f, e)
-    g2 = g2.reshape(b, f, e)
+    g = gg2[:, :e].reshape(b, f, e)
+    g2 = gg2[:, e:].reshape(b, f, e)
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(logits_ref), rtol=1e-5, atol=1e-6
     )
@@ -51,12 +51,11 @@ def test_fused_kernel_padding_inert():
     lin = jnp.zeros((b,), jnp.float32)
     y = jnp.ones((b,), jnp.float32)
     sw = jnp.zeros((b,), jnp.float32)      # all samples padded
-    logits, g, g2 = ffm_fused_logits_grads(
+    logits, gg2 = ffm_fused_logits_grads(
         v.reshape(b, -1).reshape(b * f, c * k), fields, vals, lin, y, sw, c, k,
         block_b=8, interpret=True,
     )
-    assert float(jnp.abs(g).sum()) == 0.0
-    assert float(jnp.abs(g2).sum()) == 0.0
+    assert float(jnp.abs(gg2).sum()) == 0.0
     np.testing.assert_allclose(np.asarray(logits), 0.0, atol=1e-7)
 
 

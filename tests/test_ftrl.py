@@ -178,3 +178,48 @@ def test_select_ftrl_update_heuristic():
     assert select_ftrl_update(100_000, 624, 319_488) is dense_ftrl_update
     assert select_ftrl_update(10_000_000, 624, 319_488) is sparse_ftrl_update
     assert select_ftrl_update(1_000_000, 624, 319_488) is sparse_ftrl_update  # temp>2GB
+
+
+def test_combined_payload_updates_match_split():
+    """dense_ftrl_update2 / sparse_ftrl_update2 (single combined (g||g^2)
+    scatter payload, the TPU hot path) == the split-form oracle updates."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.ftrl import (
+        dense_ftrl_update,
+        dense_ftrl_update2,
+        sparse_ftrl_update,
+        sparse_ftrl_update2,
+    )
+
+    rng = np.random.default_rng(11)
+    R, D, N = 37, 6, 50
+    n_tab = jnp.asarray(np.abs(rng.normal(size=(R, D))).astype(np.float32))
+    z_tab = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    w_tab = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, R + 3, N).astype(np.int32))  # some dropped
+    g = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    gg2 = jnp.concatenate([g, g * g], axis=-1)
+
+    for split, combined in (
+        (dense_ftrl_update, dense_ftrl_update2),
+        (sparse_ftrl_update, sparse_ftrl_update2),
+    ):
+        en, ez, ew = split(n_tab, z_tab, w_tab, ids, g, g * g, P)
+        cn, cz, cw = combined(n_tab, z_tab, w_tab, ids, gg2, P)
+        np.testing.assert_allclose(np.asarray(cn), np.asarray(en), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(cz), np.asarray(ez), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cw), np.asarray(ew), rtol=1e-5, atol=1e-7)
+
+    # 1-D (linear-table) form: payload [N, 2]
+    lin_n = jnp.asarray(np.abs(rng.normal(size=R)).astype(np.float32))
+    lin_z = jnp.asarray(rng.normal(size=R).astype(np.float32))
+    lin_w = jnp.asarray(rng.normal(size=R).astype(np.float32))
+    gl = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    ggl = jnp.stack([gl, gl * gl], axis=-1)
+    en, ez, ew = dense_ftrl_update(lin_n, lin_z, lin_w, ids, gl, gl * gl, P)
+    cn, cz, cw = dense_ftrl_update2(lin_n, lin_z, lin_w, ids, ggl, P)
+    np.testing.assert_allclose(np.asarray(cz), np.asarray(ez), rtol=1e-5, atol=1e-6)
+    en, ez, ew = sparse_ftrl_update(lin_n, lin_z, lin_w, ids, gl, gl * gl, P)
+    cn, cz, cw = sparse_ftrl_update2(lin_n, lin_z, lin_w, ids, ggl, P)
+    np.testing.assert_allclose(np.asarray(cz), np.asarray(ez), rtol=1e-5, atol=1e-6)
