@@ -155,15 +155,15 @@ def main(argv: list[str] | None = None) -> int:
         n = trainer.predict_file(args.predict_data, args.predict_output)
         print(f"wrote {n} predictions to {args.predict_output}")
     if cfg.model_path:
-        from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
-
-        save_checkpoint(cfg.model_path, trainer.state, level=cfg.compress_level,
-                        extra={"config": {k: v for k, v in vars(args).items()}})
+        trainer.save_checkpoint(
+            cfg.model_path,
+            extra={"config": {k: v for k, v in vars(args).items()}},
+        )
         print(f"checkpoint saved to {cfg.model_path}")
     if args.export_reference_model:
         from ftrl_ffm_tpu.io.checkpoint import export_reference_model
 
-        bias, lin_w, vec_w = trainer.model.materialize_weights(trainer.state)
+        bias, lin_w, vec_w = trainer.model.materialize_weights(trainer.logical_state)
         export_reference_model(
             args.export_reference_model, float(bias), lin_w, vec_w,
             level=cfg.compress_level,

@@ -69,6 +69,22 @@ class Config:
     # mesh: data-parallel x model-parallel(row-sharded tables)
     mesh_data: int = 1
     mesh_model: int = 1
+    # Sharded-lookup strategy (mesh_model > 1):
+    #   "replicate": every table shard gathers its local rows for the full
+    #     batch and a psum("model") assembles rows — simple, exact, but
+    #     per-shard gather work is O(nnz * E) regardless of shard count.
+    #   "route": batch shards over BOTH mesh axes; each device's ids are
+    #     bucketed by owner shard (fixed capacity route_capacity * nnz/M,
+    #     overflow dropped with a warning) and routed with all_to_all; rows
+    #     come back the same way, gradients route forward to owners.  Traffic
+    #     and per-device work are O(nnz * E / (data*model)) — the scalable
+    #     form (SURVEY §2b/2c).
+    #   "auto": route when mesh_model > 1 and shapes divide, else replicate.
+    lookup_mode: str = "auto"
+    # Fixed per-peer routing capacity as a multiple of the balanced share
+    # (nnz_local / mesh_model).  2.0 absorbs heavy id skew; overflowing
+    # occurrences are dropped (gradient + lookup) with a jax.debug warning.
+    route_capacity: float = 2.0
     eval_auc: bool = True            # new capability vs reference (log-loss only)
     shuffle: bool = True             # offline mode epoch shuffle
     save_every: int = 0              # checkpoint every N steps (0 = only at end)
@@ -86,6 +102,8 @@ class Config:
             raise ValueError(f"invalid update_mode: {self.update_mode}")
         if self.table_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"invalid table_dtype: {self.table_dtype}")
+        if self.lookup_mode not in ("auto", "replicate", "route"):
+            raise ValueError(f"invalid lookup_mode: {self.lookup_mode}")
 
     # Width of one feature row in the factor table.
     @property

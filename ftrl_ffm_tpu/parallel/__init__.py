@@ -5,15 +5,17 @@ The reference is a single process with hogwild threads + per-row mutexes
 Here scaling is a `jax.sharding.Mesh` over two logical axes:
 
   * "data"  — the global batch is row-sharded (classic DP),
-  * "model" — the feature tables (lin/vec n,z accumulators) are row-sharded
-    by contiguous feature-id block (the parameter-server analogue).
+  * "model" — the feature tables ((n, z, w) triples) are row-sharded with
+    modulo-interleaved (hash-equivalent) feature-id placement — the
+    parameter-server analogue.
 
-Collectives (all XLA, riding ICI): table-lookup combine is a `psum` over
-"model"; per-feature gradient aggregation `all_gather`s ids+grads over "data"
-so each table shard applies one deterministic FTRL step to its rows.
+Collectives (all XLA, riding ICI): `all_to_all` id/row/grad routing between
+batch shards and table shards (lookup_mode="route", the scalable form), or a
+`psum`-combine over "model" (lookup_mode="replicate", small meshes); dense
+per-feature gradient accumulators `psum` over "data".  See sharded.py.
 """
 
-from ftrl_ffm_tpu.parallel.mesh import make_mesh, shard_state
+from ftrl_ffm_tpu.parallel.mesh import make_mesh, shard_state, unshard_state
 from ftrl_ffm_tpu.parallel.sharded import ShardedStep
 
-__all__ = ["make_mesh", "shard_state", "ShardedStep"]
+__all__ = ["make_mesh", "shard_state", "unshard_state", "ShardedStep"]

@@ -41,6 +41,52 @@ def padded_rows(n_rows: int, n_shards: int) -> int:
     return rows_per_shard(n_rows, n_shards) * n_shards
 
 
+def interleave_ids(ids, n_shards: int, rows_local: int, n_feats: int):
+    """Feature id -> physical table row under modulo-interleaved placement.
+
+    Row placement is round-robin over model shards: feature id lives on shard
+    (id % M) at local row (id // M), i.e. physical row
+    p = (id % M) * rows_local + id // M.  This balances per-shard lookup load
+    for both frequency-sorted ids and per-field vocab ranges — the "hash (or
+    permutation-block) row placement" of SURVEY §2b:101 — while keeping each
+    shard's physical block contiguous (M = 1 is the identity).  Ids >=
+    n_feats (the batch padding sentinel and out-of-range ids, which the
+    reference filters at src/model/ftrl_model.cpp:36-42) map to the global
+    drop sentinel M * rows_local.
+    """
+    import jax.numpy as jnp
+
+    ok = (ids >= 0) & (ids < n_feats)
+    if n_shards == 1:
+        # identity placement; still normalize sentinel/out-of-range ids
+        return jnp.where(ok, ids, rows_local)
+    p = (ids % n_shards) * rows_local + ids // n_shards
+    return jnp.where(ok, p, n_shards * rows_local)
+
+
+def interleave_table(tab, n_shards: int):
+    """Logical (id-ordered) table rows -> physical interleaved placement."""
+    if tab is None or n_shards == 1:
+        return tab
+    rp = tab.shape[0]
+    rl = rp // n_shards
+    ids = np.arange(rp)
+    # physical row (id % M) * Rl + id // M holds logical row id
+    inv = np.empty(rp, np.int64)
+    inv[(ids % n_shards) * rl + ids // n_shards] = ids
+    return tab[inv]
+
+
+def deinterleave_table(tab, n_shards: int):
+    """Physical interleaved rows -> logical id order (for export/tests)."""
+    if tab is None or n_shards == 1:
+        return tab
+    rp = tab.shape[0]
+    rl = rp // n_shards
+    ids = np.arange(rp)
+    return tab[(ids % n_shards) * rl + ids // n_shards]
+
+
 def state_pspecs(state: ModelState) -> ModelState:
     """PartitionSpec pytree: feature tables row-sharded on "model",
     bias/step replicated."""
@@ -88,7 +134,9 @@ def pad_state_tables(state: ModelState, n_shards: int) -> ModelState:
 
 
 def shard_state(state: ModelState, mesh: Mesh) -> ModelState:
-    """Pad tables and place the state with its canonical shardings."""
+    """Pad tables, interleave rows over model shards, place with canonical
+    shardings.  The placed state is in PHYSICAL row order (see
+    interleave_ids); unshard_state inverts."""
     n_shards = mesh.shape["model"]
     state = pad_state_tables(state, n_shards)
     specs = state_pspecs(state)
@@ -96,14 +144,41 @@ def shard_state(state: ModelState, mesh: Mesh) -> ModelState:
     def place(x, spec):
         if x is None:
             return None
+        if spec in (P("model"), P("model", None)):
+            x = interleave_table(np.asarray(x), n_shards)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return ModelState(*(place(x, s) for x, s in zip(state, specs)))
 
 
-def batch_pspecs() -> tuple:
-    """Batch arrays row-sharded on "data", replicated on "model":
-    (fields, feats, vals, y, sample_w)."""
-    two_d = P("data", None)
-    one_d = P("data")
-    return (two_d, two_d, two_d, one_d, one_d)
+def unshard_state(state: ModelState, n_shards: int, n_feats: int) -> ModelState:
+    """Sharded physical state -> host-local logical state (id row order,
+    sliced back to n_feats rows).  The inverse of shard_state for tests,
+    export and checkpointing."""
+    def back(x, is_table):
+        if x is None:
+            return None
+        if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+            # multi-host: gather the global array onto every host first
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        x = np.asarray(x)
+        if is_table:
+            x = deinterleave_table(x, n_shards)[:n_feats]
+        return jax.numpy.asarray(x)
+
+    return ModelState(
+        bias_n=back(state.bias_n, False),
+        bias_z=back(state.bias_z, False),
+        lin_n=back(state.lin_n, True),
+        lin_z=back(state.lin_z, True),
+        lin_w=back(state.lin_w, True),
+        vec_n=back(state.vec_n, True),
+        vec_z=back(state.vec_z, True),
+        vec_w=back(state.vec_w, True),
+        step=back(state.step, False),
+    )
+
+
+# batch_pspecs lives in parallel/sharded.py (parameterized by lookup mode)

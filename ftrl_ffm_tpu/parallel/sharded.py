@@ -2,26 +2,40 @@
 
 Replaces the reference's hogwild thread parallelism
 (reference: src/task/ftrl_offline.cpp:85-100, per-feature mutexes at
-src/include/model/ftrl_model.h:49) with deterministic SPMD:
+src/include/model/ftrl_model.h:49) with deterministic SPMD.  Feature tables
+are row-sharded over "model" with modulo-interleaved placement (feature id
+lives on shard id % M — see parallel/mesh.py::interleave_ids), the batch is
+row-sharded over devices, and two lookup strategies exist (Config.lookup_mode):
 
-  * batch row-sharded over "data";
-  * (n, z, w) feature tables row-sharded over "model" in contiguous id blocks;
-  * **lookup**: each table shard gathers its local w rows (others contribute
-    0) and a `psum` over "model" assembles full weight rows on every device;
-  * **update**: each device scatter-adds its batch shard's per-occurrence
-    (g, g^2) into dense local-table-shaped accumulators, a `psum` over "data"
-    completes the global per-feature sums, and one fused elementwise pass
-    applies the closed-form FTRL step to the local rows — one deterministic
-    update per feature id per step, no races by construction.
+**replicate** (small meshes): batch sharded over "data" only; each table
+shard gathers its local rows for the full local batch (others contribute 0)
+and a `psum` over "model" assembles full weight rows on every device.  Exact
+and simple, but every model shard does O(nnz * E) gather work and the psum
+moves full-width tensors — the right shape only while mesh_model is small.
 
-All collectives are XLA (`psum`) and ride ICI on a real slice.  The dense
-G/G2 psum is the classic data-parallel gradient all-reduce; it is the right
-choice while table shards fit comfortably in HBM (alternative for very large
-tables: all_gather the [nnz] id/grad stream instead — smaller when
-B*F*D << R_local*D).
+**route** (the scalable form — SURVEY §2b:101, §2c:114-118): batch sharded
+over BOTH axes (compute scales with every device).  Each device buckets its
+flat physical ids by owner shard into fixed-capacity send buffers
+(K = route_capacity * nnz_local / M per peer), `all_to_all` over "model"
+delivers id requests to owners, owners gather local rows, a second
+`all_to_all` returns them; the update path routes the combined (g || g^2)
+payloads to owners through the same buckets, then each owner scatter-adds
+into its local accumulator.  Per-device traffic and gather work are
+O(nnz * E / n_devices) — independent of mesh_model.  Occurrences overflowing
+the bucket capacity are dropped (lookup reads 0, gradient discarded) with a
+jax.debug warning; route_capacity=2 absorbs heavy skew.
+
+The update in both modes is the dense-accumulator form: scatter-add combined
+(g, g^2) into local-table-shaped accumulators, `psum` over "data" completes
+the global per-feature sums, one fused elementwise pass applies the
+closed-form FTRL step — one deterministic update per feature id per step, no
+races by construction.  All collectives are XLA (`psum`, `all_to_all`) and
+ride ICI on a real slice.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +47,8 @@ from ftrl_ffm_tpu.ftrl import (
     FtrlParams,
     ftrl_accumulate,
     ftrl_weights,
-    scatter_grads,
-    select_ftrl_update,
-    sparse_ftrl_update,
+    select_ftrl_update2,
+    sparse_ftrl_update2,
 )
 from ftrl_ffm_tpu.models.base import (
     Batch,
@@ -49,7 +62,31 @@ from ftrl_ffm_tpu.ops.interactions import (
     fm_logits_and_grads,
     linear_logits,
 )
-from ftrl_ffm_tpu.parallel.mesh import batch_pspecs, state_pspecs
+from ftrl_ffm_tpu.parallel.mesh import interleave_ids
+
+
+class Routing(NamedTuple):
+    """Per-step id routing tables (route mode), shared by lookup and update."""
+
+    slot: jax.Array      # [n] int32: send-buffer slot per occurrence (M*K = dropped)
+    valid: jax.Array     # [n] bool: routed successfully
+    recv: jax.Array      # [M*K] int32: local rows requested of this shard (Rl = none)
+    overflow: jax.Array  # scalar int32: occurrences dropped by capacity
+
+
+def _resolve_lookup_mode(cfg: Config, mesh: Mesh) -> str:
+    m = mesh.shape["model"]
+    if m == 1 or cfg.lookup_mode == "replicate":
+        return "replicate"
+    n_dev = mesh.shape["data"] * m
+    if cfg.lookup_mode == "route":
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"lookup_mode=route needs batch_size divisible by "
+                f"{n_dev} devices, got {cfg.batch_size}"
+            )
+        return "route"
+    return "route" if cfg.batch_size % n_dev == 0 else "replicate"
 
 
 class ShardedStep:
@@ -60,10 +97,25 @@ class ShardedStep:
         self.mesh = mesh
         self.params = FtrlParams(cfg.w_alpha, cfg.w_beta, cfg.w_l1, cfg.w_l2)
         self.n_feats = cfg.n_feats
+        self.n_shards = mesh.shape["model"]
+        self.rows_local = state.lin_n.shape[0] // self.n_shards
+        self.mode = _resolve_lookup_mode(cfg, mesh)
+        if self.mode == "route":
+            self._batch_axes = ("data", "model")
+            n_local = (
+                cfg.batch_size
+                // (mesh.shape["data"] * self.n_shards)
+                * max(1, cfg.max_nnz)
+            )
+            k = int(n_local / self.n_shards * cfg.route_capacity)
+            self.route_k = max(8, min(n_local, -(-k // 8) * 8))
+        else:
+            self._batch_axes = ("data",)
+            self.route_k = 0
 
         sspecs = state_pspecs(state)
-        bspecs = Batch(*batch_pspecs())
-        train_out_specs = TrainOut(sspecs, P("data"), P(), P())
+        bspecs = Batch(*batch_pspecs(self._batch_axes))
+        train_out_specs = TrainOut(sspecs, P(self._batch_axes), P(), P())
         self.train_step = jax.jit(
             shard_map(
                 self._train_step,
@@ -74,7 +126,7 @@ class ShardedStep:
             ),
             donate_argnums=0,
         )
-        eval_out_specs = (P(), P(), P("data"))
+        eval_out_specs = (P(), P(), P(self._batch_axes))
         self.eval_step = jax.jit(
             shard_map(
                 self._eval_step,
@@ -88,7 +140,7 @@ class ShardedStep:
         # Multi-step variants: lax.scan over a [S, ...] stack of batches in
         # ONE dispatch — amortizes host->device dispatch latency (the analogue
         # of the reference's 20000-line consumer chunks, pc_task.h:34).
-        multi_bspecs = Batch(*(P(None, *s) for s in batch_pspecs()))
+        multi_bspecs = Batch(*(P(None, *s) for s in batch_pspecs(self._batch_axes)))
         self.train_multi = jax.jit(
             shard_map(
                 self._train_multi,
@@ -109,26 +161,33 @@ class ShardedStep:
             )
         )
 
-    # ---- sharded table access (runs on per-device local views) ----
-    def _local_lookup_mask(self, tab_rows: int, ids: jax.Array):
-        """(local_ids, in_shard_mask) for this device's contiguous row block."""
+    # ---- physical ids ----
+    def _phys_ids(self, feats: jax.Array) -> jax.Array:
+        """Flat physical row ids for the local batch shard (sentinel = Rp)."""
+        return interleave_ids(
+            feats.reshape(-1), self.n_shards, self.rows_local, self.n_feats
+        )
+
+    # ---- replicate-mode table access (runs on per-device local views) ----
+    def _local_lookup_mask(self, ids_phys: jax.Array):
+        """(local_ids, in_shard_mask) for this device's physical row block."""
         shard = jax.lax.axis_index("model")
-        offset = shard * tab_rows
-        mask = (ids >= offset) & (ids < offset + tab_rows) & (ids < self.n_feats)
-        lid = jnp.clip(ids - offset, 0, tab_rows - 1)
+        offset = shard * self.rows_local
+        mask = (ids_phys >= offset) & (ids_phys < offset + self.rows_local)
+        lid = jnp.clip(ids_phys - offset, 0, self.rows_local - 1)
         return lid, mask
 
-    def _lookup_linear(self, lin_w, ids):
+    def _lookup_linear(self, lin_w, ids_phys):
         """w rows for `ids`, assembled across table shards via psum("model").
 
         One gather per table — w is stored, like the reference's lin_w read in
         its hot loop (reference: src/model/ftrl_model.cpp:44-50)."""
-        lid, mask = self._local_lookup_mask(lin_w.shape[0], ids)
+        lid, mask = self._local_lookup_mask(ids_phys)
         w = jnp.where(mask, jnp.take(lin_w, lid), 0.0)
         return jax.lax.psum(w, "model")
 
-    def _lookup_vec(self, vec_w, ids):
-        lid, mask = self._local_lookup_mask(vec_w.shape[0], ids)
+    def _lookup_vec(self, vec_w, ids_phys):
+        lid, mask = self._local_lookup_mask(ids_phys)
         w = jnp.where(
             mask[..., None],
             jnp.take(vec_w, lid, axis=0),
@@ -138,94 +197,146 @@ class ShardedStep:
         # so a bf16 psum is exact; compute continues in f32
         return jax.lax.psum(w, "model").astype(jnp.float32)
 
-    def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
-        cfg = self.cfg
-        ids = batch.feats  # [b, F] local
-        bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
-        w_lin = self._lookup_linear(state.lin_w, ids)
-        lin = linear_logits(w_lin, batch.vals, bias_w)
-        if cfg.model_type == "LR":
-            return lin, None
-        v = self._lookup_vec(state.vec_w, ids)
-        if cfg.model_type == "FM":
-            logits, dv = fm_logits_and_grads(v, batch.vals, lin)
-            return logits, (dv if train else None)
-        logits, dv = ffm_logits_and_grads(
-            v,
-            batch.fields,
-            batch.vals,
-            lin,
-            cfg.n_fields,
-            cfg.n_factors,
-            compute_grads=train,
-        )
-        return logits, dv
+    # ---- route-mode machinery ----
+    def _route(self, ids_phys: jax.Array) -> Routing:
+        """Bucket local physical ids by owner shard, exchange over "model".
 
-    def _train_logits_gvec(self, state: ModelState, batch: Batch):
-        """(logits, gs-scaled factor grads) for the local batch shard.
+        Deterministic: ranks within a bucket follow occurrence order
+        (cumsum), so duplicate ids occupy distinct slots and their gradients
+        all arrive at the owner."""
+        m, rl, k = self.n_shards, self.rows_local, self.route_k
+        n = ids_phys.shape[0]
+        owner = ids_phys // rl          # sentinel Rp -> m (invalid)
+        local = (ids_phys % rl).astype(jnp.int32)
+        rank = jnp.zeros((n,), jnp.int32)
+        for j in range(m):
+            mask = owner == j
+            rank = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, rank)
+        valid = (owner < m) & (rank < k)
+        slot = jnp.where(valid, owner.astype(jnp.int32) * k + rank, m * k)
+        send = (
+            jnp.full((m * k,), rl, jnp.int32)
+            .at[slot]
+            .set(local, mode="drop")
+        )
+        recv = jax.lax.all_to_all(
+            send.reshape(m, k), "model", 0, 0, tiled=True
+        ).reshape(-1)
+        overflow = jnp.sum(((owner < m) & (rank >= k)).astype(jnp.int32))
+        return Routing(slot=slot, valid=valid, recv=recv, overflow=overflow)
+
+    def _routed_rows(self, tab, rt: Routing):
+        """Rows of the model-sharded table for this device's occurrences.
+
+        Owner-side gather + all_to_all return; per-device traffic is
+        O(nnz_local * width) regardless of shard count."""
+        m, rl, k = self.n_shards, self.rows_local, self.route_k
+        one_d = tab.ndim == 1
+        rows = jnp.take(tab, rt.recv, axis=0, mode="clip")  # [M*K(, E)]
+        invalid = rt.recv >= rl
+        rows = jnp.where(invalid if one_d else invalid[:, None], 0, rows)
+        shape = (m, k) if one_d else (m, k, tab.shape[-1])
+        back = jax.lax.all_to_all(
+            rows.reshape(shape), "model", 0, 0, tiled=True
+        ).reshape((m * k,) if one_d else (m * k, tab.shape[-1]))
+        out = jnp.take(back, jnp.minimum(rt.slot, m * k - 1), axis=0)
+        inv2 = ~rt.valid
+        out = jnp.where(inv2 if one_d else inv2[:, None], 0, out)
+        return out.astype(jnp.float32)
+
+    def _table_update_routed(self, n_tab, z_tab, w_tab, rt: Routing, gg2):
+        """Route combined payloads to owners, accumulate, closed-form pass."""
+        m, rl, k = self.n_shards, self.rows_local, self.route_k
+        d2 = gg2.shape[-1]
+        send = jnp.zeros((m * k, d2), gg2.dtype).at[rt.slot].add(gg2, mode="drop")
+        pay = jax.lax.all_to_all(
+            send.reshape(m, k, d2), "model", 0, 0, tiled=True
+        ).reshape(m * k, d2)
+        acc = jnp.zeros((rl, d2), gg2.dtype).at[rt.recv].add(pay, mode="drop")
+        acc = jax.lax.psum(acc, "data")
+        if n_tab.ndim == 1:
+            sum_g, sum_g2 = acc[:, 0], acc[:, 1]
+        else:
+            d = d2 // 2
+            sum_g, sum_g2 = acc[:, :d], acc[:, d:]
+        w_f32 = w_tab.astype(n_tab.dtype)
+        new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, self.params)
+        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, self.params), w_f32)
+        return new_n, new_z, new_w.astype(w_tab.dtype)
+
+    # ---- shared logits plumbing ----
+    def _use_pallas(self, b_local: int) -> bool:
+        cfg = self.cfg
+        return cfg.model_type == "FFM" and b_local % 8 == 0 and (
+            cfg.use_pallas == "on"
+            or (cfg.use_pallas == "auto" and jax.default_backend() == "tpu")
+        )
+
+    def _model_logits_gg2(self, batch: Batch, lin, v, train: bool):
+        """(logits, combined payload or None) from gathered rows.
 
         FFM on TPU routes through the fused Pallas kernel (ops/ffm_pallas.py)
         — pallas_call composes with shard_map since it is per-device local
         compute; collectives stay outside the kernel."""
         cfg = self.cfg
         b_local = batch.feats.shape[0]
-        use_pallas = cfg.model_type == "FFM" and b_local % 8 == 0 and (
-            cfg.use_pallas == "on"
-            or (cfg.use_pallas == "auto" and jax.default_backend() == "tpu")
-        )
-        if use_pallas:
+        if cfg.model_type == "LR":
+            return lin, None
+        if cfg.model_type == "FFM" and train and self._use_pallas(b_local):
             from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
 
-            bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
-            w_lin = self._lookup_linear(state.lin_w, batch.feats)
-            lin = linear_logits(w_lin, batch.vals, bias_w)
-            v = self._lookup_vec(state.vec_w, batch.feats.reshape(-1))
             return ffm_fused_logits_grads(
-                v,
-                batch.fields,
-                batch.vals,
-                lin,
-                batch.y,
-                batch.sample_w,
-                cfg.n_fields,
-                cfg.n_factors,
-                compute_grads=True,
+                v, batch.fields, batch.vals, lin, batch.y, batch.sample_w,
+                cfg.n_fields, cfg.n_factors, compute_grads=True,
             )
-        logits, dv = self._logits_and_grads(state, batch, train=True)
-        if dv is None:
-            return logits, None, None
+        v3 = v.reshape(b_local, -1, v.shape[-1])
+        if cfg.model_type == "FM":
+            logits, dv = fm_logits_and_grads(v3, batch.vals, lin)
+        else:
+            logits, dv = ffm_logits_and_grads(
+                v3, batch.fields, batch.vals, lin,
+                cfg.n_fields, cfg.n_factors, compute_grads=train,
+            )
+        if not train or dv is None:
+            return logits, None
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
-        return logits, gs[:, None, None] * dv, None
+        g = (gs[:, None, None] * dv).reshape(dv.shape[0] * dv.shape[1], -1)
+        return logits, jnp.concatenate([g, g * g], axis=-1)
 
-    def _table_update(self, n_tab, z_tab, w_tab, ids, g, g2):
-        """Global FTRL step on this device's table shard.
+    # ---- replicate-mode dense table update ----
+    def _table_update(self, n_tab, z_tab, w_tab, ids_phys, gg2):
+        """Global FTRL step on this device's table shard, combined payload
+        gg2 [nnz_local, 2*D] (g in lanes [:D], g^2 in [D:]).
 
-        Dense mode: local scatter-add into table-shaped accumulators +
+        Dense mode: local scatter-add into a table-shaped accumulator +
         psum("data") (the classic dense-grad all-reduce) + fused closed-form
-        pass.  Sparse mode (huge table shards): all_gather the (id, g, g^2)
+        pass.  Sparse mode (huge table shards): all_gather the (id, gg2)
         stream over "data" so each shard sees the whole global batch, then
         update touched local rows only — O(global nnz) temps instead of
-        O(R_local).  ids may be batch-shaped [b, F] (dense scatters use
-        batched index dims); the sparse path flattens."""
-        tab_rows = n_tab.shape[0]
+        O(R_local)."""
+        tab_rows = self.rows_local
         row_width = n_tab.shape[1] if n_tab.ndim > 1 else 1
-        nnz_local = ids.shape[0] * (ids.shape[1] if ids.ndim > 1 else 1)
-        global_nnz = nnz_local * self.mesh.shape["data"]
-        update = select_ftrl_update(
+        global_nnz = ids_phys.shape[0] * self.mesh.shape["data"]
+        update = select_ftrl_update2(
             tab_rows, row_width, global_nnz, self.cfg.update_mode
         )
-        if update is sparse_ftrl_update:
-            ids_g = jax.lax.all_gather(ids, "data", axis=0, tiled=True)
-            g_g = jax.lax.all_gather(g, "data", axis=0, tiled=True)
-            g2_g = jax.lax.all_gather(g2, "data", axis=0, tiled=True)
-            lid, mask = self._local_lookup_mask(tab_rows, ids_g)
+        if update is sparse_ftrl_update2:
+            ids_g = jax.lax.all_gather(ids_phys, "data", axis=0, tiled=True)
+            gg2_g = jax.lax.all_gather(gg2, "data", axis=0, tiled=True)
+            lid, mask = self._local_lookup_mask(ids_g)
             lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> dropped
-            return sparse_ftrl_update(n_tab, z_tab, w_tab, lid, g_g, g2_g, self.params)
-        lid, mask = self._local_lookup_mask(tab_rows, ids)
+            return sparse_ftrl_update2(n_tab, z_tab, w_tab, lid, gg2_g, self.params)
+        lid, mask = self._local_lookup_mask(ids_phys)
         lid = jnp.where(mask, lid, tab_rows)  # out-of-shard -> drop sentinel
-        sum_g, sum_g2 = scatter_grads(n_tab.shape, lid, g, g2)
-        sum_g = jax.lax.psum(sum_g, "data")
-        sum_g2 = jax.lax.psum(sum_g2, "data")
+        acc = jnp.zeros((tab_rows, gg2.shape[-1]), gg2.dtype).at[lid].add(
+            gg2, mode="drop"
+        )
+        acc = jax.lax.psum(acc, "data")
+        if n_tab.ndim == 1:
+            sum_g, sum_g2 = acc[:, 0], acc[:, 1]
+        else:
+            d = gg2.shape[-1] // 2
+            sum_g, sum_g2 = acc[:, :d], acc[:, d:]
         w_f32 = w_tab.astype(n_tab.dtype)
         new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, self.params)
         new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, self.params), w_f32)
@@ -235,33 +346,72 @@ class ShardedStep:
     def _train_step(self, state: ModelState, batch: Batch):
         p = self.params
         batch = widen_batch(batch)
-        logits, g_vec, g2_vec = self._train_logits_gvec(state, batch)
-        gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [b]
-
-        # Bias: global grad sums over "data", replicated update.
+        ids_phys = self._phys_ids(batch.feats)
         bias_w = ftrl_weights(state.bias_n, state.bias_z, p)
-        sum_g = jax.lax.psum(jnp.sum(gs), "data")
-        sum_g2 = jax.lax.psum(jnp.sum(gs * gs), "data")
+
+        rt = None
+        if self.mode == "route":
+            rt = self._route(ids_phys)
+            jax.lax.cond(
+                rt.overflow > 0,
+                lambda o: jax.debug.print(
+                    "ftrl_ffm_tpu WARNING: routed lookup overflow - {n} "
+                    "occurrences dropped this step; raise route_capacity",
+                    n=o,
+                ),
+                lambda o: None,
+                rt.overflow,
+            )
+            w_lin = self._routed_rows(state.lin_w, rt).reshape(batch.feats.shape)
+            v = (
+                self._routed_rows(state.vec_w, rt)
+                if state.vec_w is not None
+                else None
+            )
+        else:
+            w_lin = self._lookup_linear(
+                state.lin_w, ids_phys.reshape(batch.feats.shape)
+            )
+            v = (
+                self._lookup_vec(state.vec_w, ids_phys)
+                if state.vec_w is not None
+                else None
+            )
+
+        lin = linear_logits(w_lin, batch.vals, bias_w)
+        logits, gg2_vec = self._model_logits_gg2(batch, lin, v, train=True)
+        gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [b_local]
+
+        # Bias: global grad sums over the batch axes, replicated update.
+        sum_g = jax.lax.psum(jnp.sum(gs), self._batch_axes)
+        sum_g2 = jax.lax.psum(jnp.sum(gs * gs), self._batch_axes)
         bias_n, bias_z = ftrl_accumulate(
             state.bias_n, state.bias_z, bias_w, sum_g, sum_g2, p
         )
 
-        ids = batch.feats.reshape(-1)  # flat [b*F]
         g_lin = (gs[:, None] * batch.vals).reshape(-1)
-        lin_n, lin_z, lin_w = self._table_update(
-            state.lin_n, state.lin_z, state.lin_w, ids, g_lin, g_lin * g_lin
-        )
-
-        vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
-        if g_vec is not None:
-            d = state.vec_w.shape[-1]
-            g_vec = g_vec.reshape(ids.shape[0], d)
-            g2_vec = g_vec * g_vec if g2_vec is None else g2_vec.reshape(ids.shape[0], d)
-            vec_n, vec_z, vec_w = self._table_update(
-                state.vec_n, state.vec_z, state.vec_w, ids, g_vec, g2_vec
+        gg2_lin = jnp.stack([g_lin, g_lin * g_lin], axis=-1)  # [nnz, 2]
+        if self.mode == "route":
+            lin_n, lin_z, lin_w = self._table_update_routed(
+                state.lin_n, state.lin_z, state.lin_w, rt, gg2_lin
+            )
+        else:
+            lin_n, lin_z, lin_w = self._table_update(
+                state.lin_n, state.lin_z, state.lin_w, ids_phys, gg2_lin
             )
 
-        count = jax.lax.psum(jnp.sum(batch.sample_w), "data")
+        vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
+        if gg2_vec is not None:
+            if self.mode == "route":
+                vec_n, vec_z, vec_w = self._table_update_routed(
+                    state.vec_n, state.vec_z, state.vec_w, rt, gg2_vec
+                )
+            else:
+                vec_n, vec_z, vec_w = self._table_update(
+                    state.vec_n, state.vec_z, state.vec_w, ids_phys, gg2_vec
+                )
+
+        count = jax.lax.psum(jnp.sum(batch.sample_w), self._batch_axes)
         new_state = ModelState(
             bias_n=bias_n,
             bias_z=bias_z,
@@ -271,18 +421,44 @@ class ShardedStep:
             vec_n=vec_n,
             vec_z=vec_z,
             vec_w=vec_w,
+            # inert (fully padded) batches don't count as steps — they arise
+            # as scan-group remainder padding and are numerical no-ops
             step=state.step + (count > 0).astype(jnp.int32),
         )
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
-        loss_sum = jax.lax.psum(jnp.sum(per_loss), "data")
+        loss_sum = jax.lax.psum(jnp.sum(per_loss), self._batch_axes)
         return TrainOut(new_state, logits, loss_sum, count)
+
+    def _eval_logits(self, state: ModelState, batch: Batch):
+        ids_phys = self._phys_ids(batch.feats)
+        bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
+        if self.mode == "route":
+            rt = self._route(ids_phys)
+            w_lin = self._routed_rows(state.lin_w, rt).reshape(batch.feats.shape)
+            v = (
+                self._routed_rows(state.vec_w, rt)
+                if state.vec_w is not None
+                else None
+            )
+        else:
+            w_lin = self._lookup_linear(
+                state.lin_w, ids_phys.reshape(batch.feats.shape)
+            )
+            v = (
+                self._lookup_vec(state.vec_w, ids_phys)
+                if state.vec_w is not None
+                else None
+            )
+        lin = linear_logits(w_lin, batch.vals, bias_w)
+        logits, _ = self._model_logits_gg2(batch, lin, v, train=False)
+        return logits
 
     def _eval_step(self, state: ModelState, batch: Batch):
         batch = widen_batch(batch)
-        logits, _ = self._logits_and_grads(state, batch, train=False)
+        logits = self._eval_logits(state, batch)
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
-        loss_sum = jax.lax.psum(jnp.sum(per_loss), "data")
-        count = jax.lax.psum(jnp.sum(batch.sample_w), "data")
+        loss_sum = jax.lax.psum(jnp.sum(per_loss), self._batch_axes)
+        count = jax.lax.psum(jnp.sum(batch.sample_w), self._batch_axes)
         return loss_sum, count, logits
 
     # ---- multi-step (scan) bodies ----
@@ -300,7 +476,7 @@ class ShardedStep:
         def body(carry, b):
             ls0, ct0, pos0, neg0 = carry
             b = widen_batch(b)
-            logits, _ = self._logits_and_grads(state, b, train=False)
+            logits = self._eval_logits(state, b)
             per_loss = binary_logloss(logits, b.y) * b.sample_w
             pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, bins)
             return (
@@ -317,28 +493,73 @@ class ShardedStep:
             jnp.zeros((bins,), jnp.float32),
         )
         (ls, ct, pos, neg), _ = jax.lax.scan(body, init, batches)
+        ax = self._batch_axes
         return (
-            jax.lax.psum(ls, "data"),
-            jax.lax.psum(ct, "data"),
-            jax.lax.psum(pos, "data"),
-            jax.lax.psum(neg, "data"),
+            jax.lax.psum(ls, ax),
+            jax.lax.psum(ct, ax),
+            jax.lax.psum(pos, ax),
+            jax.lax.psum(neg, ax),
         )
 
     # ---- host-side batch placement ----
-    def place_batch(self, arrays) -> Batch:
-        fields, feats, vals, y, sample_w = arrays
-        specs = batch_pspecs()
-        put = lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s))
-        return Batch(
-            fields=put(fields, specs[0]),
-            feats=put(feats, specs[1]),
-            vals=put(vals, specs[2]),
-            y=put(y, specs[3]),
-            sample_w=put(sample_w, specs[4]),
+    def _put(self, a, spec, batch_dim=0):
+        """Place one host array: device_put single-process, or assemble the
+        global array from this process's local slice (multi-host — each
+        process feeds its byte-range shard of every global batch).
+        Replicated leaves (spec without a batch axis, e.g. feats_base) are
+        identical on every process and placed as-is."""
+        if a is None:
+            return None
+        sharding = NamedSharding(self.mesh, spec)
+        if jax.process_count() == 1:
+            return jax.device_put(a, sharding)
+        sharded = len(spec) > batch_dim and spec[batch_dim] is not None
+        if not sharded:
+            return jax.make_array_from_process_local_data(sharding, a, a.shape)
+        gshape = list(a.shape)
+        gshape[batch_dim] *= jax.process_count()
+        return jax.make_array_from_process_local_data(sharding, a, tuple(gshape))
+
+    def _with_base(self, arrays, stacked: bool):
+        """shard_map in_specs were built with 6 leaves; substitute an inert
+        feats_base (ignored by widen_batch for int32 feats) when absent so
+        the batch pytree structure never changes."""
+        import numpy as np
+
+        if len(arrays) >= 6 and arrays[5] is not None:
+            return arrays
+        f = arrays[0].shape[-1]
+        dummy = (
+            np.zeros((arrays[0].shape[0], f + 1), np.int32)
+            if stacked
+            else np.zeros(f + 1, np.int32)
         )
+        return (*arrays[:5], dummy)
+
+    def place_batch(self, arrays) -> Batch:
+        specs = batch_pspecs(self._batch_axes)
+        arrays = self._with_base(arrays, stacked=False)
+        return Batch(*(self._put(a, s) for a, s in zip(arrays, specs)))
 
     def place_batch_multi(self, arrays) -> Batch:
         """Place a [S, ...]-stacked batch group (leading dim unsharded)."""
-        specs = [P(None, *s) for s in batch_pspecs()]
-        put = lambda a, s: jax.device_put(a, NamedSharding(self.mesh, s))
-        return Batch(*(put(a, s) for a, s in zip(arrays, specs)))
+        specs = [P(None, *s) for s in batch_pspecs(self._batch_axes)]
+        arrays = self._with_base(arrays, stacked=True)
+        return Batch(
+            *(self._put(a, s, batch_dim=1) for a, s in zip(arrays, specs))
+        )
+
+
+def batch_pspecs(batch_axes=("data",)) -> tuple:
+    """Batch arrays row-sharded over `batch_axes`:
+    (fields, feats, vals, y, sample_w, feats_base) — feats_base (the
+    compact-transfer id bases, models/base.py::Batch) is replicated."""
+    two_d = P(batch_axes, None)
+    one_d = P(batch_axes)
+    return (two_d, two_d, two_d, one_d, one_d, P(None))
+
+
+def state_pspecs(state: ModelState) -> ModelState:
+    from ftrl_ffm_tpu.parallel.mesh import state_pspecs as _sp
+
+    return _sp(state)

@@ -11,7 +11,7 @@ import pytest
 
 from ftrl_ffm_tpu.config import Config
 from ftrl_ffm_tpu.models import Batch, make_model
-from ftrl_ffm_tpu.parallel import ShardedStep, make_mesh, shard_state
+from ftrl_ffm_tpu.parallel import ShardedStep, make_mesh, shard_state, unshard_state
 
 
 def _random_batch(rng, b, f, n_feats, n_fields, pad_tail=2):
@@ -46,8 +46,11 @@ def _cfg(model_type, **kw):
 
 @pytest.mark.parametrize("model_type", ["LR", "FM", "FFM"])
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
-def test_sharded_matches_single_device(model_type, mesh_shape):
-    cfg = _cfg(model_type)
+@pytest.mark.parametrize("lookup_mode", ["replicate", "route"])
+def test_sharded_matches_single_device(model_type, mesh_shape, lookup_mode):
+    if lookup_mode == "route" and mesh_shape[1] == 1:
+        pytest.skip("route degenerates to replicate at mesh_model=1")
+    cfg = _cfg(model_type, lookup_mode=lookup_mode)
     model = make_model(cfg)
     state0 = model.init()
     rng = np.random.default_rng(0)
@@ -72,19 +75,19 @@ def test_sharded_matches_single_device(model_type, mesh_shape):
     assert float(count) == float(out1.count)
     sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
 
-    r = cfg.n_feats
+    lstate = unshard_state(sstate, mesh.shape["model"], cfg.n_feats)
     np.testing.assert_allclose(
-        np.asarray(sstate.lin_z)[:r], np.asarray(out2.state.lin_z), rtol=1e-4, atol=1e-7
+        np.asarray(lstate.lin_z), np.asarray(out2.state.lin_z), rtol=1e-4, atol=1e-7
     )
     np.testing.assert_allclose(
-        np.asarray(sstate.lin_n)[:r], np.asarray(out2.state.lin_n), rtol=1e-4, atol=1e-7
+        np.asarray(lstate.lin_n), np.asarray(out2.state.lin_n), rtol=1e-4, atol=1e-7
     )
     np.testing.assert_allclose(
-        float(sstate.bias_z), float(out2.state.bias_z), rtol=1e-5
+        float(lstate.bias_z), float(out2.state.bias_z), rtol=1e-5
     )
     if model_type != "LR":
         np.testing.assert_allclose(
-            np.asarray(sstate.vec_z)[:r],
+            np.asarray(lstate.vec_z),
             np.asarray(out2.state.vec_z),
             rtol=1e-4,
             atol=1e-7,
@@ -149,7 +152,7 @@ def test_trainer_with_mesh_matches_single_device(tmp_path):
 def test_sharded_sparse_update_matches_single_device(model_type):
     """update_mode=sparse: all_gather (id, g) stream + touched-rows update
     must equal the single-device sparse step."""
-    cfg = _cfg(model_type, update_mode="sparse")
+    cfg = _cfg(model_type, update_mode="sparse", lookup_mode="replicate")
     model = make_model(cfg)
     rng = np.random.default_rng(4)
     arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats, cfg.n_fields)
@@ -160,15 +163,15 @@ def test_sharded_sparse_update_matches_single_device(model_type):
     sstate = shard_state(model.init(), mesh)
     step = ShardedStep(cfg, mesh, sstate)
     sstate, logits, loss_sum, count = step.train_step(sstate, step.place_batch(arrays))
-    r = cfg.n_feats
+    lstate = unshard_state(sstate, mesh.shape["model"], cfg.n_feats)
     np.testing.assert_allclose(
-        np.asarray(sstate.lin_z)[:r], np.asarray(out1.state.lin_z), rtol=1e-4, atol=1e-7
+        np.asarray(lstate.lin_z), np.asarray(out1.state.lin_z), rtol=1e-4, atol=1e-7
     )
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
     )
     if model_type != "LR":
         np.testing.assert_allclose(
-            np.asarray(sstate.vec_z)[:r], np.asarray(out1.state.vec_z),
+            np.asarray(lstate.vec_z), np.asarray(out1.state.vec_z),
             rtol=1e-4, atol=1e-7,
         )
