@@ -29,21 +29,67 @@ class ArrayDataset(NamedTuple):
         return self.y.shape[0]
 
 
-def _partition_offsets(path: str, n_parts: int) -> list[tuple[int, int]]:
+def _partition_offsets(
+    path: str, n_parts: int, byte_range: Optional[tuple[int, int]] = None
+) -> list[tuple[int, int]]:
     """Byte ranges aligned to line boundaries
     (reference: src/data/reader.cpp:22-48, get_data_partition)."""
-    size = os.path.getsize(path)
+    lo, hi = byte_range if byte_range else (0, os.path.getsize(path))
     n_parts = max(1, n_parts)
-    approx = [size * i // n_parts for i in range(n_parts + 1)]
-    cuts = [0]
+    approx = [lo + (hi - lo) * i // n_parts for i in range(n_parts + 1)]
+    cuts = [lo]
     with open(path, "rb") as f:
         for i in range(1, n_parts):
             f.seek(approx[i])
             f.readline()  # advance to next line boundary
-            cuts.append(min(f.tell(), size))
-    cuts.append(size)
+            cuts.append(min(f.tell(), hi))
+    cuts.append(hi)
     cuts = sorted(set(cuts))
     return [(a, b) for a, b in zip(cuts[:-1], cuts[1:]) if b > a]
+
+
+def process_byte_range(path: str, shard_index: int, shard_count: int) -> tuple[int, int]:
+    """This process's byte slice of the input file, aligned to line
+    boundaries — the multi-host generalization of the reference's byte-range
+    partition (src/data/reader.cpp:22-48): shard i owns the lines beginning
+    in [size*i/P, size*(i+1)/P) after '\\n' alignment.  Processes whose range
+    collapses to empty get (x, x) and stream zero lines."""
+    if shard_count <= 1:
+        return (0, os.path.getsize(path))
+    size = os.path.getsize(path)
+    approx = [size * i // shard_count for i in range(shard_count + 1)]
+    cuts = [0]
+    with open(path, "rb") as f:
+        for i in range(1, shard_count):
+            f.seek(approx[i])
+            f.readline()
+            cuts.append(min(f.tell(), size))
+    cuts.append(size)
+    # monotone, possibly-colliding cuts: collapsed shards read nothing
+    for i in range(1, len(cuts)):
+        cuts[i] = max(cuts[i], cuts[i - 1])
+    return (cuts[shard_index], cuts[shard_index + 1])
+
+
+def count_lines(path: str, byte_range: Optional[tuple[int, int]] = None) -> int:
+    """Newline count in the (line-aligned) byte range — used to agree on a
+    global per-epoch step count across hosts before streaming."""
+    lo, hi = byte_range if byte_range else (0, os.path.getsize(path))
+    n = 0
+    last = b"\n"
+    with open(path, "rb") as f:
+        f.seek(lo)
+        remaining = hi - lo
+        while remaining > 0:
+            block = f.read(min(8 << 20, remaining))
+            if not block:
+                break
+            remaining -= len(block)
+            n += block.count(b"\n")
+            last = block[-1:]
+    if last != b"\n" and hi - lo > 0:
+        n += 1  # final unterminated line
+    return n
 
 
 def load_file(
@@ -53,11 +99,20 @@ def load_file(
     n_feats: int = 1 << 31 - 1,
     n_fields: int = 1 << 31 - 1,
     n_workers: int = 1,
+    byte_range: Optional[tuple[int, int]] = None,
 ) -> ArrayDataset:
-    """Parse a whole libsvm/libffm file into padded arrays, in parallel."""
+    """Parse a libsvm/libffm file (or one process's byte_range of it) into
+    padded arrays, in parallel."""
     if max_nnz <= 0:
         max_nnz = sniff_max_nnz(path, file_type)
-    parts = _partition_offsets(path, n_workers)
+    if byte_range is not None and byte_range[1] <= byte_range[0]:
+        return ArrayDataset(
+            fields=np.zeros((0, max_nnz), np.int32),
+            feats=np.zeros((0, max_nnz), np.int32),
+            vals=np.zeros((0, max_nnz), np.float32),
+            y=np.zeros((0,), np.float32),
+        )
+    parts = _partition_offsets(path, n_workers, byte_range)
 
     def parse_range(rng: tuple[int, int]) -> ParsedChunk:
         with open(path, "rb") as f:

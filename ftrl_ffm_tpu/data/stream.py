@@ -43,6 +43,7 @@ class StreamReader:
         prefetch: int = 4,
         log_every: int = 1_000_000,  # reference: pc_task.h:35 (log_num)
         n_parse_threads: int = 3,
+        byte_range: Optional[tuple[int, int]] = None,
     ):
         self.path_or_file = path_or_file
         self.file_type = file_type
@@ -53,6 +54,11 @@ class StreamReader:
         self.chunk_lines = chunk_lines
         self.prefetch = prefetch
         self.log_every = log_every
+        # multi-host: stream only this byte slice (line-aligned; see
+        # data/loader.py::process_byte_range)
+        if byte_range is not None and not isinstance(path_or_file, str):
+            raise ValueError("byte_range requires a file path, not a stream")
+        self.byte_range = byte_range
         # The C++ chunk parser releases the GIL, so a small thread pool gives
         # real parse parallelism — the reference's N consumer threads
         # (src/concurrent/pc_task.cpp:57-80) reborn as a parse pool feeding
@@ -63,6 +69,34 @@ class StreamReader:
         if isinstance(self.path_or_file, str):
             return open(self.path_or_file, "r")
         return self.path_or_file  # e.g. sys.stdin for --cmd mode
+
+    def _lines(self, fh: IO[str]):
+        """Lines of the stream, restricted to self.byte_range if set.
+
+        Ranged reads go through a separate binary handle with 8 MB block
+        reads (text-mode tell()-per-line is pathologically slow)."""
+        if self.byte_range is None:
+            yield from fh
+            return
+        lo, hi = self.byte_range
+        if hi <= lo:
+            return
+        with open(self.path_or_file, "rb") as fb:
+            fb.seek(lo)
+            remaining = hi - lo
+            buf = b""
+            while remaining > 0:
+                block = fb.read(min(8 << 20, remaining))
+                if not block:
+                    break
+                remaining -= len(block)
+                buf += block
+                parts = buf.split(b"\n")
+                buf = parts.pop()
+                for p in parts:
+                    yield p.decode() + "\n"
+            if buf:
+                yield buf.decode()
 
     def batches(self) -> Iterator[tuple]:
         """One epoch of (fields, feats, vals, y, sample_w) batches."""
@@ -83,7 +117,7 @@ class StreamReader:
                 fh = self._open()
                 lines: list[str] = []
                 seen = 0
-                for ln in fh:
+                for ln in self._lines(fh):
                     if not ln.strip():
                         continue
                     lines.append(ln)

@@ -33,46 +33,107 @@ MAGIC = b"FTRLTPU1"
 
 
 # ---------------------------------------------------------------- checkpoints
-def save_checkpoint(path: str, state: ModelState, level: int = 3, extra: dict | None = None):
-    arrays = {}
+_TABLES = ("lin_n", "lin_z", "lin_w", "vec_n", "vec_z", "vec_w")
+CHUNK_BYTES = 64 << 20  # max host-resident bytes per table while streaming
+
+
+def _chunk_rows(shape, itemsize) -> int:
+    row_bytes = itemsize * (int(np.prod(shape[1:])) if len(shape) > 1 else 1)
+    return max(1, CHUNK_BYTES // max(1, row_bytes))
+
+
+def _logical_row_chunks(val, n_shards: int, n_feats: int):
+    """Yield (logical_shape, chunk iterator) for one table.
+
+    Sharded tables live in physical (modulo-interleaved, padded) row order
+    across devices (parallel/mesh.py::interleave_ids); each chunk is gathered
+    on device in logical id order and pulled to host one slab at a time — the
+    coordinator never materializes a whole table (SURVEY §5: "sharded per
+    host" checkpointing without a full-table host gather)."""
+    arr_rows = val.shape[0]
+    rows = min(n_feats, arr_rows) if n_shards > 1 else arr_rows
+    shape = (rows,) + tuple(val.shape[1:])
+    step = _chunk_rows(shape, np.dtype(str(val.dtype)).itemsize)
+
+    def chunks():
+        rl = arr_rows // n_shards
+        for a in range(0, rows, step):
+            b = min(rows, a + step)
+            if n_shards == 1:
+                yield np.asarray(val[a:b])
+            else:
+                ids = np.arange(a, b)
+                phys = (ids % n_shards) * rl + ids // n_shards
+                yield np.asarray(jnp.take(val, jnp.asarray(phys), axis=0))
+
+    return shape, chunks
+
+
+def save_checkpoint(
+    path: str,
+    state: ModelState,
+    level: int = 3,
+    extra: dict | None = None,
+    n_shards: int = 1,
+    n_feats: int = 0,
+):
+    """Stream a full-state checkpoint to zstd.
+
+    Accepts single-device states directly, or mesh-sharded states via
+    (n_shards, n_feats): tables are then de-interleaved to logical row order
+    chunk-by-chunk on device, so peak host memory is one CHUNK_BYTES slab —
+    not one table.  The on-disk format is identical either way (checkpoints
+    are mesh-independent; resume on any mesh re-shards on load)."""
     meta = {"fields": [], "extra": extra or {}}
+    writers = []
     for name, val in state._asdict().items():
         if val is None:
             meta["fields"].append({"name": name, "none": True})
             continue
-        arr = np.asarray(val)
+        if name in _TABLES and val.ndim >= 1 and n_shards >= 1:
+            shape, chunks = _logical_row_chunks(val, n_shards, n_feats or val.shape[0])
+        else:
+            arr = np.asarray(val)
+            shape, chunks = arr.shape, (lambda a=arr: iter((a,)))
         meta["fields"].append(
-            {"name": name, "dtype": str(arr.dtype), "shape": list(arr.shape)}
+            {"name": name, "dtype": str(np.dtype(str(val.dtype))), "shape": list(shape)}
         )
-        arrays[name] = arr
+        writers.append(chunks)
 
-    payload = b"".join(arrays[f["name"]].tobytes() for f in meta["fields"] if not f.get("none"))
     header = json.dumps(meta).encode()
-    blob = MAGIC + struct.pack("<I", len(header)) + header + payload
-    comp = zstandard.ZstdCompressor(level=level).compress(blob)
-    with open(path, "wb") as f:
-        f.write(comp)
+    cctx = zstandard.ZstdCompressor(level=level)
+    with open(path, "wb") as f, cctx.stream_writer(f) as zf:
+        zf.write(MAGIC + struct.pack("<I", len(header)) + header)
+        for chunks in writers:
+            for chunk in chunks():
+                zf.write(np.ascontiguousarray(chunk).tobytes())
 
 
 def load_checkpoint(path: str) -> tuple[ModelState, dict]:
-    with open(path, "rb") as f:
-        blob = zstandard.ZstdDecompressor().decompress(f.read())
-    if blob[:8] != MAGIC:
-        raise ValueError(f"{path}: not a ftrl_ffm_tpu checkpoint")
-    hlen = struct.unpack("<I", blob[8:12])[0]
-    meta = json.loads(blob[12 : 12 + hlen])
-    off = 12 + hlen
-    kwargs = {}
-    for fld in meta["fields"]:
-        if fld.get("none"):
-            kwargs[fld["name"]] = None
-            continue
-        dt = np.dtype(fld["dtype"])
-        count = int(np.prod(fld["shape"])) if fld["shape"] else 1
-        nbytes = dt.itemsize * count
-        arr = np.frombuffer(blob[off : off + nbytes], dtype=dt).reshape(fld["shape"])
-        off += nbytes
-        kwargs[fld["name"]] = jnp.asarray(arr)
+    """Stream-read a checkpoint: each table decompresses directly into its
+    preallocated buffer (no whole-file decompressed copy)."""
+    dctx = zstandard.ZstdDecompressor()
+    with open(path, "rb") as f, dctx.stream_reader(f) as zf:
+        head = zf.read(12)
+        if head[:8] != MAGIC:
+            raise ValueError(f"{path}: not a ftrl_ffm_tpu checkpoint")
+        hlen = struct.unpack("<I", head[8:12])[0]
+        meta = json.loads(zf.read(hlen))
+        kwargs = {}
+        for fld in meta["fields"]:
+            if fld.get("none"):
+                kwargs[fld["name"]] = None
+                continue
+            dt = np.dtype(fld["dtype"])
+            arr = np.empty(tuple(fld["shape"]), dtype=dt)
+            view = arr.reshape(-1).view(np.uint8)
+            got = zf.readinto(view)
+            while got < view.nbytes:
+                n = zf.readinto(view[got:])
+                if not n:
+                    raise ValueError(f"{path}: truncated checkpoint")
+                got += n
+            kwargs[fld["name"]] = jnp.asarray(arr)
     return ModelState(**kwargs), meta["extra"]
 
 

@@ -82,7 +82,27 @@ class Trainer:
 
         self._steps_done = 0
         self._sharded = None
-        use_mesh = cfg.mesh_model > 1 or cfg.mesh_data > 1 or cfg.mesh_data == 0
+        # ---- multi-host: one process per host, SPMD over the global mesh
+        # (the reference is strictly single-process — SURVEY §2c).  Each
+        # process streams its own byte-range of the input and feeds its
+        # local slice of every global batch.
+        self._proc_id = jax.process_index()
+        self._proc_n = jax.process_count()
+        if self._proc_n > 1:
+            if cfg.cmd:
+                raise ValueError("--cmd stdin streaming is single-process only")
+            if cfg.batch_size % self._proc_n:
+                raise ValueError(
+                    f"batch_size {cfg.batch_size} not divisible by "
+                    f"{self._proc_n} processes"
+                )
+            if cfg.mesh_data == 1 and cfg.mesh_model == 1:
+                cfg.mesh_data = 0  # default: data-parallel over all devices
+        self._local_bs = cfg.batch_size // self._proc_n
+        use_mesh = (
+            cfg.mesh_model > 1 or cfg.mesh_data > 1 or cfg.mesh_data == 0
+            or self._proc_n > 1
+        )
         if use_mesh:
             from ftrl_ffm_tpu.parallel import ShardedStep, make_mesh, shard_state
 
@@ -104,6 +124,10 @@ class Trainer:
             self._train_multi = jax.jit(self._multi_train_impl, donate_argnums=0)
             self._eval_multi = jax.jit(self._multi_eval_impl)
         self._spc = max(1, cfg.steps_per_call)
+        # delta-encoding hysteresis: one batch that can't delta-encode
+        # disables it for the rest of the run, so the jitted step sees at
+        # most one feats-dtype flip (recompiles are expensive on TPU)
+        self._delta_ok = True
 
     # ---- multi-step (one dispatch per S batches, lax.scan) ----
     def _multi_train_impl(self, state: ModelState, batches: Batch):
@@ -143,6 +167,20 @@ class Trainer:
             logits, batch.y, batch.sample_w, AUC_BINS
         )
         return loss_sum, count, pos, neg
+
+    @property
+    def logical_state(self) -> ModelState:
+        """Host-logical state: id row order, sliced to n_feats.
+
+        Sharded states live in physical (modulo-interleaved, padded) row
+        order — every export/checkpoint boundary must go through this."""
+        if self._sharded is not None:
+            from ftrl_ffm_tpu.parallel import unshard_state
+
+            return unshard_state(
+                self.state, self._sharded.n_shards, self.cfg.n_feats
+            )
+        return self.state
 
     # ---- batch plumbing ----
     def _device_feed(self, arrays_iter):
@@ -217,37 +255,71 @@ class Trainer:
             return arrays
         import ml_dtypes
 
-        fields, feats, vals, y, sample_w = arrays
+        fields, feats, vals, y, sample_w = arrays[:5]
         fdt = (
             np.int8
             if self.cfg.n_fields <= 127
             else np.int16 if self.cfg.n_fields <= 32767 else np.int32
         )
-        vals_bf16 = vals.astype(ml_dtypes.bfloat16)
-        if not np.array_equal(vals_bf16.astype(np.float32), vals):
-            vals_bf16 = vals  # not exactly representable: keep f32
+        # feats: per-column uint16 delta encoding.  CTR ids cluster in
+        # per-field vocab ranges, so (max - min) per column is tiny even when
+        # n_feats is huge; delta 65535 is reserved for the padding sentinel.
+        feats_base = None
+        if self._delta_ok:
+            sent = self.cfg.n_feats
+            flat = feats.reshape(-1, feats.shape[-1])
+            valid = flat != sent
+            any_valid = valid.any(axis=0)
+            lo = np.where(
+                any_valid,
+                np.where(valid, flat, np.iinfo(np.int32).max).min(axis=0),
+                0,
+            ).astype(np.int64)
+            hi = np.where(any_valid, np.where(valid, flat, -1).max(axis=0), 0)
+            if bool(((hi - lo) <= 65534).all()):
+                delta = np.where(valid, flat - lo, 65535).astype(np.uint16)
+                feats = delta.reshape(feats.shape)
+                feats_base = np.concatenate(
+                    [lo.astype(np.int32), np.array([sent], np.int32)]
+                )
+                if feats.ndim == 3:  # [S, B, F] group: scan slices every leaf
+                    feats_base = np.tile(feats_base, (feats.shape[0], 1))
+            else:
+                self._delta_ok = False
+        # vals: int8 when integral, bfloat16 when exact, else f32 — never lossy
+        vals_i8 = vals.astype(np.int8)
+        if np.array_equal(vals_i8.astype(np.float32), vals):
+            vals_c = vals_i8
+        else:
+            vals_bf16 = vals.astype(ml_dtypes.bfloat16)
+            vals_c = (
+                vals_bf16
+                if np.array_equal(vals_bf16.astype(np.float32), vals)
+                else vals
+            )
         sw_i8 = sample_w.astype(np.int8)
         if not np.array_equal(sw_i8.astype(np.float32), sample_w):
             sw_i8 = sample_w  # fractional sample weights: keep f32
         return (
             fields.astype(fdt),
             feats,
-            vals_bf16,
+            vals_c,
             y.astype(np.int8),  # labels are binarized {0,1} at parse time
             sw_i8,
+            feats_base,
         )
 
     def _device_batch(self, arrays) -> Batch:
         arrays = self._compact(arrays)
         if self._sharded is not None:
             return self._sharded.place_batch(arrays)
-        return Batch(*(jnp.asarray(a) for a in arrays))
+        return Batch(*(None if a is None else jnp.asarray(a) for a in arrays))
 
     def _device_group(self, arrays) -> Batch:
         arrays = self._compact(arrays)
         if self._sharded is not None:
             return self._sharded.place_batch_multi(arrays)
-        return Batch(*(jnp.asarray(a) for a in arrays))
+        return Batch(*(None if a is None else jnp.asarray(a) for a in arrays))
 
     def _grouped(self, arrays_iter, s: int):
         """Stack batches into [S, ...] groups; the remainder group is padded
@@ -277,6 +349,47 @@ class Trainer:
         if group:
             yield stack(group), len(group)
 
+    def _byte_range(self, path: str):
+        """This process's line-aligned slice of `path` (None = whole file)."""
+        if self._proc_n <= 1:
+            return None
+        from ftrl_ffm_tpu.data.loader import process_byte_range
+
+        return process_byte_range(path, self._proc_id, self._proc_n)
+
+    def _global_steps(self, local_n: int) -> int:
+        """Per-epoch step count every process agrees on.  Collectives are
+        lockstep: processes with fewer local samples pad with inert batches
+        so every process dispatches the same number of steps."""
+        steps = -(-local_n // self._local_bs) if local_n else 0
+        if self._proc_n == 1:
+            return steps
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(
+            jnp.asarray([steps], jnp.int32)
+        )
+        return int(np.max(counts))
+
+    def _inert_batch(self):
+        b, f = self._local_bs, self.cfg.max_nnz
+        return (
+            np.zeros((b, f), np.int32),
+            np.full((b, f), self.cfg.n_feats, np.int32),
+            np.zeros((b, f), np.float32),
+            np.zeros(b, np.float32),
+            np.zeros(b, np.float32),
+        )
+
+    def _pad_to_steps(self, it, n_steps: int):
+        k = 0
+        for b in it:
+            yield b
+            k += 1
+        while k < n_steps:
+            yield self._inert_batch()
+            k += 1
+
     def _train_batches(self, epoch_rng: np.random.Generator):
         cfg = self.cfg
         if cfg.online:
@@ -284,13 +397,14 @@ class Trainer:
             reader = StreamReader(
                 src,
                 cfg.file_type,
-                cfg.batch_size,
+                self._local_bs,
                 cfg.max_nnz,
                 cfg.n_feats,
                 cfg.n_fields,
                 n_parse_threads=cfg.n_threads,
+                byte_range=None if cfg.cmd else self._byte_range(cfg.train_data),
             )
-            yield from reader.batches()
+            it = reader.batches()
         else:
             if not hasattr(self, "_train_ds"):
                 self._train_ds = load_file(
@@ -300,14 +414,27 @@ class Trainer:
                     cfg.n_feats,
                     cfg.n_fields,
                     n_workers=cfg.n_threads,
+                    byte_range=self._byte_range(cfg.train_data),
                 )
-            yield from batch_iterator(
+            it = batch_iterator(
                 self._train_ds,
-                cfg.batch_size,
+                self._local_bs,
                 shuffle=cfg.shuffle,
                 rng=epoch_rng,
                 sentinel=cfg.n_feats,
             )
+        if self._proc_n == 1:
+            yield from it
+            return
+        if not hasattr(self, "_train_steps"):
+            from ftrl_ffm_tpu.data.loader import count_lines
+
+            self._train_steps = self._global_steps(
+                count_lines(cfg.train_data, self._byte_range(cfg.train_data))
+                if cfg.online
+                else self._train_ds.n
+            )
+        yield from self._pad_to_steps(it, self._train_steps)
 
     def _eval_batches(self):
         cfg = self.cfg
@@ -315,13 +442,14 @@ class Trainer:
             reader = StreamReader(
                 cfg.eval_data,
                 cfg.file_type,
-                cfg.batch_size,
+                self._local_bs,
                 cfg.max_nnz,
                 cfg.n_feats,
                 cfg.n_fields,
                 n_parse_threads=cfg.n_threads,
+                byte_range=self._byte_range(cfg.eval_data),
             )
-            yield from reader.batches()
+            it = reader.batches()
         else:
             if not hasattr(self, "_eval_ds"):
                 self._eval_ds = load_file(
@@ -331,10 +459,23 @@ class Trainer:
                     cfg.n_feats,
                     cfg.n_fields,
                     n_workers=cfg.n_threads,
+                    byte_range=self._byte_range(cfg.eval_data),
                 )
-            yield from batch_iterator(
-                self._eval_ds, cfg.batch_size, shuffle=False, sentinel=cfg.n_feats
+            it = batch_iterator(
+                self._eval_ds, self._local_bs, shuffle=False, sentinel=cfg.n_feats
             )
+        if self._proc_n == 1:
+            yield from it
+            return
+        if not hasattr(self, "_eval_steps"):
+            from ftrl_ffm_tpu.data.loader import count_lines
+
+            self._eval_steps = self._global_steps(
+                count_lines(cfg.eval_data, self._byte_range(cfg.eval_data))
+                if cfg.online
+                else self._eval_ds.n
+            )
+        yield from self._pad_to_steps(it, self._eval_steps)
 
     # ---- epochs ----
     def train_epoch(self, epoch_rng: Optional[np.random.Generator] = None) -> float:
@@ -382,6 +523,11 @@ class Trainer:
         New capability vs the reference (which can only eval log-loss).
         Returns the number of samples scored."""
         cfg = self.cfg
+        if self._proc_n > 1:
+            raise NotImplementedError(
+                "predict_file writes ordered per-line output; run it "
+                "single-process (training can stay multi-host)"
+            )
         reader = StreamReader(
             data_path,
             cfg.file_type or detect_file_type(data_path),
@@ -412,16 +558,28 @@ class Trainer:
             self._eval_plain_jit = jax.jit(self.model.eval_step)
         return self._eval_plain_jit
 
-    def _save_mid_checkpoint(self, step: int) -> None:
-        """Periodic full-state checkpoint (new capability vs the reference,
-        which has no mid-training checkpointing — SURVEY §5)."""
+    def save_checkpoint(self, path: str, extra: dict | None = None) -> None:
+        """Full-state checkpoint; sharded states stream logical row chunks
+        straight off the mesh (no full-table host gather).  Multi-host: only
+        the coordinator writes."""
+        if self._proc_id != 0:
+            return
         from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
 
         save_checkpoint(
-            self.cfg.model_path,
+            path,
             self.state,
             level=self.cfg.compress_level,
-            extra={"mid_training_step": step},
+            extra=extra,
+            n_shards=self._sharded.n_shards if self._sharded else 1,
+            n_feats=self.cfg.n_feats,
+        )
+
+    def _save_mid_checkpoint(self, step: int) -> None:
+        """Periodic full-state checkpoint (new capability vs the reference,
+        which has no mid-training checkpointing — SURVEY §5)."""
+        self.save_checkpoint(
+            self.cfg.model_path, extra={"mid_training_step": step}
         )
 
     def evaluate(self) -> tuple[float, float]:
@@ -456,6 +614,8 @@ class Trainer:
         cfg = self.cfg
         history = {"train_loss": [], "eval_loss": [], "eval_auc": []}
         rng = np.random.default_rng(cfg.seed)
+        # multi-host: only the coordinator prints the reference-format lines
+        log = print if self._proc_id == 0 else (lambda *a, **k: None)
         for epoch in range(1, cfg.n_epochs + 1):
             t0 = time.perf_counter()
             if profile_dir and epoch == 1:
@@ -466,7 +626,7 @@ class Trainer:
                 train_loss = self.train_epoch(rng)
             jax.block_until_ready(self.state.lin_z)
             dt = time.perf_counter() - t0
-            print(
+            log(
                 f"epoch {epoch} train time: {dt:.4f}s, train loss: {train_loss:.4f}"
             )
             history["train_loss"].append(train_loss)
@@ -475,12 +635,12 @@ class Trainer:
                 eval_loss, eval_auc = self.evaluate()
                 dt = time.perf_counter() - t0
                 if cfg.eval_auc:
-                    print(
+                    log(
                         f"epoch {epoch} eval time: {dt:.4f}s, "
                         f"eval loss: {eval_loss:.4f}, eval auc: {eval_auc:.4f}"
                     )
                 else:
-                    print(
+                    log(
                         f"epoch {epoch} eval time: {dt:.4f}s, eval loss: {eval_loss:.4f}"
                     )
                 history["eval_loss"].append(eval_loss)
