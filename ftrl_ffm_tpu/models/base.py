@@ -23,8 +23,11 @@ from ftrl_ffm_tpu.config import Config
 from ftrl_ffm_tpu.ftrl import (
     FtrlParams,
     bias_update,
+    dense_ftrl_update2,
+    dense_ftrl_update_inplace,
     ftrl_weights,
-    select_ftrl_update2,
+    select_update_kind,
+    sparse_ftrl_update2,
 )
 
 
@@ -185,13 +188,14 @@ class Model:
     def predict_proba(self, state: ModelState, batch: Batch) -> jax.Array:
         return jax.nn.sigmoid(self.predict_logits(state, batch))
 
-    def _train_logits_gg2(self, state: ModelState, batch: Batch):
-        """(logits, gg2_vec) for one train step.  gg2_vec [B*F, 2D] carries
-        the factor gradient (already scaled by gs = (sigmoid(logit) - y) *
-        sample_w) in lanes [:D] and its elementwise square in [D:] — the
-        combined payload for the single FTRL scatter (None for LR).
-        Subclasses may fuse this (FFM Pallas kernel emits the layout
-        directly); this XLA fallback builds it with one concatenate."""
+    def _train_grads(self, state: ModelState, batch: Batch, split: bool):
+        """(logits, payload) for one train step; payload is None (LR),
+        (gg2 [B*F, 2D],) with the factor gradient (already scaled by
+        gs = (sigmoid(logit) - y) * sample_w) in lanes [:D] and its square
+        in [D:] — the combined payload for the single FTRL scatter — or,
+        when split=True (huge-table in-place update), separate
+        (g [B*F, D], g2 [B*F, D]).  Subclasses may fuse this (the FFM
+        Pallas kernel emits either layout directly)."""
         logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
         if dlogit_dv is None:
             return logits, None
@@ -200,14 +204,25 @@ class Model:
             dlogit_dv.shape[0], dlogit_dv.shape[1], -1
         )
         g_vec = g_vec.reshape(g_vec.shape[0] * g_vec.shape[1], -1)
-        return logits, jnp.concatenate([g_vec, g_vec * g_vec], axis=-1)
+        if split:
+            return logits, (g_vec, g_vec * g_vec)
+        return logits, (jnp.concatenate([g_vec, g_vec * g_vec], axis=-1),)
 
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
         p = self.params
         batch = widen_batch(batch)
-        logits, gg2_vec = self._train_logits_gg2(state, batch)
+        nnz = batch.feats.shape[0] * batch.feats.shape[1]
+        vec_kind = None
+        if state.vec_n is not None:
+            vec_kind = select_update_kind(
+                state.vec_n.shape[0], state.vec_n.shape[-1], nnz,
+                self.cfg.update_mode,
+            )
+        logits, payload = self._train_grads(
+            state, batch, split=vec_kind == "inplace"
+        )
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 
@@ -216,10 +231,12 @@ class Model:
         # row-major 2-D layout (avoids relayout copies on TPU).
         g_lin = (gs[:, None] * batch.vals).reshape(-1)
         ids = batch.feats.reshape(-1)
-        nnz = ids.shape[0]
         gg2_lin = jnp.stack([g_lin, g_lin * g_lin], axis=-1)  # [nnz, 2]
-        lin_update = select_ftrl_update2(
-            state.lin_n.shape[0], 1, nnz, self.cfg.update_mode
+        lin_kind = select_update_kind(
+            state.lin_n.shape[0], 0, nnz, self.cfg.update_mode
+        )
+        lin_update = (
+            sparse_ftrl_update2 if lin_kind == "sparse2" else dense_ftrl_update2
         )
         lin_n, lin_z, lin_w = lin_update(
             state.lin_n, state.lin_z, state.lin_w, ids, gg2_lin, p
@@ -227,14 +244,20 @@ class Model:
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
-        if gg2_vec is not None:
-            d = state.vec_w.shape[-1]
-            vec_update = select_ftrl_update2(
-                state.vec_n.shape[0], d, nnz, self.cfg.update_mode
-            )
-            vec_n, vec_z, vec_w = vec_update(
-                state.vec_n, state.vec_z, state.vec_w, ids, gg2_vec, p
-            )
+        if payload is not None:
+            if vec_kind == "inplace":
+                vec_n, vec_z, vec_w = dense_ftrl_update_inplace(
+                    state.vec_n, state.vec_z, state.vec_w, ids, *payload, p
+                )
+            else:
+                vec_update = (
+                    sparse_ftrl_update2
+                    if vec_kind == "sparse2"
+                    else dense_ftrl_update2
+                )
+                vec_n, vec_z, vec_w = vec_update(
+                    state.vec_n, state.vec_z, state.vec_w, ids, payload[0], p
+                )
 
         count = jnp.sum(batch.sample_w)
         new_state = ModelState(

@@ -37,20 +37,21 @@ class FFM(Model):
             return False
         return jax.default_backend() == "tpu"
 
-    def _train_logits_gg2(self, state: ModelState, batch: Batch):
+    def _train_grads(self, state: ModelState, batch: Batch, split: bool):
         """Fused Pallas path on TPU: one VMEM pass computes logits and the
-        combined (g || g^2) payload — no [B, F, C*K] HBM intermediates and
-        no concat (the kernel writes the [B*F, 2E] layout directly)."""
+        FTRL payload — no [B, F, C*K] HBM intermediates and no concat (the
+        kernel writes the combined [B*F, 2E] layout, or separate g/g2 for
+        the huge-table in-place update, directly)."""
         b = batch.feats.shape[0]
         if not self._use_pallas() or b % 8:
-            return super()._train_logits_gg2(state, batch)
+            return super()._train_grads(state, batch, split)
         from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
 
         w = self._gather_linear(state, batch.feats)
         lin = linear_logits(w, batch.vals, self.bias_weight(state))
         # flat [B*F, E] gather: single 2-D row-major stream into the kernel
         v = self._gather_vec(state, batch.feats.reshape(-1))
-        logits, gg2 = ffm_fused_logits_grads(
+        logits, *payload = ffm_fused_logits_grads(
             v,
             batch.fields,
             batch.vals,
@@ -60,8 +61,9 @@ class FFM(Model):
             self.n_fields,
             self.n_factors,
             compute_grads=True,
+            combined_out=not split,
         )
-        return logits, gg2
+        return logits, tuple(payload)
 
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         w = self._gather_linear(state, batch.feats)

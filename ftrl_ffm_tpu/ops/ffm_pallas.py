@@ -44,10 +44,10 @@ def _ffm_fused_kernel(
     v_ref,       # [TB*F, E] f32, E = K*C factor-major (2-D: the gathered-row
                  # stream keeps its natural row-major layout end to end)
     logits_ref,  # out [TB, 1] f32
-    gg2_ref,     # out [TB*F, 2E] f32: g in lanes [:E], g^2 in [E:] — the
-                 # combined payload feeds ONE FTRL scatter (ftrl.py::
-                 # dense_ftrl_update2) instead of two
-    *,
+    *out_refs,   # combined: one [TB*F, 2E] ref (g in lanes [:E], g^2 in
+                 # [E:]) feeding ONE FTRL scatter (ftrl.py::
+                 # dense_ftrl_update2); split: two [TB*F, E] refs (g, g^2)
+                 # for the huge-table in-place update
     n_fields: int,
     n_factors: int,
     compute_grads: bool,
@@ -104,15 +104,23 @@ def _ffm_fused_kernel(
         )                                                # [TB, F, E]
         g = gx[:, :, None] * (t - oh_e * xv)
         g = g.reshape(tb * f, e)
-        gg2_ref[:, :e] = g
-        gg2_ref[:, e:] = g * g
+        if len(out_refs) == 1:
+            out_refs[0][:, :e] = g
+            out_refs[0][:, e:] = g * g
+        else:
+            out_refs[0][:] = g
+            out_refs[1][:] = g * g
     else:
-        gg2_ref[:] = jnp.zeros_like(gg2_ref)
+        for ref in out_refs:
+            ref[:] = jnp.zeros_like(ref)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fields", "n_factors", "compute_grads", "block_b", "interpret"),
+    static_argnames=(
+        "n_fields", "n_factors", "compute_grads", "block_b", "interpret",
+        "combined_out",
+    ),
 )
 def ffm_fused_logits_grads(
     v: jax.Array,        # [B*F, E] gathered factor rows (factor-major)
@@ -126,15 +134,20 @@ def ffm_fused_logits_grads(
     compute_grads: bool = True,
     block_b: int = 0,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
+    combined_out: bool = True,
+):
     """Fused FFM logits + per-occurrence grads.
 
-    Returns (logits [B], gg2 [B*F, 2E]) where gg2[:, :E] is the factor grad
-    already scaled by gs = (sigmoid(logit) - y) * sample_w and gg2[:, E:] is
-    its elementwise square — the combined payload for the single FTRL
-    scatter (ftrl.py::dense_ftrl_update2).  Emitting g^2 from VMEM saves an
-    HBM mul pass; 2-D in/out keeps the gather->kernel->scatter chain in one
-    row-major layout, avoiding relayout copies around the custom call.
+    combined_out=True returns (logits [B], gg2 [B*F, 2E]) where gg2[:, :E]
+    is the factor grad already scaled by gs = (sigmoid(logit) - y) *
+    sample_w and gg2[:, E:] is its elementwise square — the combined payload
+    for the single FTRL scatter (ftrl.py::dense_ftrl_update2).
+    combined_out=False returns (logits, g, g2) as separate [B*F, E] tensors
+    for the huge-table in-place update (ftrl.py::dense_ftrl_update_inplace),
+    whose two scatters target different destinations.  Emitting g^2 from
+    VMEM saves an HBM mul pass either way; 2-D in/out keeps the
+    gather->kernel->scatter chain in one row-major layout, avoiding relayout
+    copies around the custom call.
     """
     b, f = fields.shape
     e = v.shape[-1]
@@ -161,24 +174,29 @@ def ffm_fused_logits_grads(
     v_spec = pl.BlockSpec(
         (block_b * f, e), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    gg2_spec = pl.BlockSpec(
-        (block_b * f, 2 * e), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
+    if combined_out:
+        out_specs = [pl.BlockSpec(
+            (block_b * f, 2 * e), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )]
+        out_shape = [jax.ShapeDtypeStruct((b * f, 2 * e), jnp.float32)]
+    else:
+        out_specs = [v_spec, v_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
+            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
+        ]
     col = lambda x: x.reshape(b, 1)
     # A direct gather -> Mosaic-custom-call edge deadlocks at runtime on the
     # current TPU runtime (device never completes the program); the barrier
     # forces the gathered rows to materialize as a plain buffer first.
     # Zero-cost: the [B*F, E] gather output materializes either way.
     v = jax.lax.optimization_barrier(v)
-    logits, gg2 = pl.pallas_call(
+    logits, *grads = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[row_spec, row_spec, scalar_spec, scalar_spec, scalar_spec, v_spec],
-        out_specs=[scalar_spec, gg2_spec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b * f, 2 * e), jnp.float32),
-        ],
+        out_specs=[scalar_spec] + out_specs,
+        out_shape=[jax.ShapeDtypeStruct((b, 1), jnp.float32)] + out_shape,
         compiler_params=pltpu.CompilerParams(
             # three [TB, F, E]-unit streaming buffers (double-buffered) plus
             # temporaries exceed the 16 MB default scoped-vmem budget
@@ -186,7 +204,7 @@ def ffm_fused_logits_grads(
         ),
         interpret=interpret,
     )(fields, vals, col(lin), col(y), col(sample_w), v)
-    return logits[:, 0], gg2
+    return (logits[:, 0], *grads)
 
 
 def _ffm_logits_kernel(

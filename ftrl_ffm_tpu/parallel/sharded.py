@@ -288,6 +288,7 @@ class ShardedStep:
             return ffm_fused_logits_grads(
                 v, batch.fields, batch.vals, lin, batch.y, batch.sample_w,
                 cfg.n_fields, cfg.n_factors, compute_grads=True,
+                combined_out=True,
             )
         v3 = v.reshape(b_local, -1, v.shape[-1])
         if cfg.model_type == "FM":

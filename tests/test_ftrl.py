@@ -223,3 +223,84 @@ def test_combined_payload_updates_match_split():
     en, ez, ew = sparse_ftrl_update(lin_n, lin_z, lin_w, ids, gl, gl * gl, P)
     cn, cz, cw = sparse_ftrl_update2(lin_n, lin_z, lin_w, ids, ggl, P)
     np.testing.assert_allclose(np.asarray(cz), np.asarray(ez), rtol=1e-5, atol=1e-6)
+
+
+def test_inplace_update_matches_dense2():
+    """dense_ftrl_update_inplace (huge-table path: g scattered straight into
+    z, single g^2 accumulator) == the combined dense oracle."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.ftrl import dense_ftrl_update2, dense_ftrl_update_inplace
+
+    rng = np.random.default_rng(12)
+    R, D, N = 41, 6, 64
+    n_tab = jnp.asarray(np.abs(rng.normal(size=(R, D))).astype(np.float32))
+    z_tab = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    w_tab = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, R + 3, N).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+    gg2 = jnp.concatenate([g, g * g], axis=-1)
+
+    en, ez, ew = dense_ftrl_update2(n_tab, z_tab, w_tab, ids, gg2, P)
+    cn, cz, cw = dense_ftrl_update_inplace(n_tab, z_tab, w_tab, ids, g, g * g, P)
+    np.testing.assert_allclose(np.asarray(cn), np.asarray(en), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(cz), np.asarray(ez), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cw), np.asarray(ew), rtol=1e-5, atol=1e-7)
+
+
+def test_select_update_kind_thresholds():
+    from ftrl_ffm_tpu.ftrl import select_update_kind
+
+    nnz = 319_488  # B=8192 * F=39
+    # headline config: dense combined accumulators
+    assert select_update_kind(100_000, 624, nnz) == "dense2"
+    # 1M-row flagship huge-table config: in-place (one 2.5 GB accumulator)
+    assert select_update_kind(1_000_000, 624, nnz) == "inplace"
+    # beyond-HBM tables: sort/segment sparse
+    assert select_update_kind(10_000_000, 624, nnz) == "sparse2"
+    # linear (1-D) tables never need the in-place form
+    assert select_update_kind(1_000_000, 0, nnz) == "dense2"
+    # explicit modes are respected
+    assert select_update_kind(100_000, 624, nnz, "sparse") == "sparse2"
+    assert select_update_kind(10_000_000, 624, nnz, "dense") == "dense2"
+
+
+def test_train_step_inplace_path_matches_dense(tmp_path):
+    """A model forced onto the in-place path (big table) must produce the
+    same step as the dense path on the same data."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.models import Batch, make_model
+
+    rng = np.random.default_rng(5)
+    arrays = (
+        rng.integers(0, 4, (16, 5)).astype(np.int32),
+        rng.integers(0, 50, (16, 5)).astype(np.int32),
+        rng.random((16, 5)).astype(np.float32),
+        (rng.random(16) > 0.5).astype(np.float32),
+        np.ones(16, np.float32),
+    )
+    batch = Batch(*(jnp.asarray(a) for a in arrays))
+    kw = dict(model_type="FFM", n_feats=50, n_fields=4, n_factors=4,
+              batch_size=16, max_nnz=5)
+    m_dense = make_model(Config(**kw, update_mode="dense"))
+    out_d = m_dense.train_step(m_dense.init(), batch)
+
+    import ftrl_ffm_tpu.models.base as mb
+    orig = mb.select_update_kind
+    mb.select_update_kind = lambda r, d, n, mode="auto": (
+        "inplace" if d else orig(r, d, n, mode)
+    )
+    try:
+        m_ip = make_model(Config(**kw))
+        out_i = m_ip.train_step(m_ip.init(), batch)
+    finally:
+        mb.select_update_kind = orig
+    np.testing.assert_allclose(
+        np.asarray(out_i.state.vec_z), np.asarray(out_d.state.vec_z),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_i.logits), np.asarray(out_d.logits), rtol=1e-5, atol=1e-6
+    )
