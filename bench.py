@@ -71,6 +71,7 @@ def main() -> None:
         batch_size=BATCH,
         max_nnz=N_FIELDS,
         n_threads=3,
+        use_pallas=os.environ.get("FTRL_BENCH_PALLAS", "auto"),
     )
     trainer = Trainer(cfg)
 
@@ -104,5 +105,35 @@ def main() -> None:
     )
 
 
+def _watchdog() -> None:
+    """Run the measurement in a child process with a timeout; if the fused
+    TPU kernel path wedges the device (observed: a runtime deadlock through
+    the remote-TPU relay), retry once on the pure-XLA path so the bench
+    always produces its JSON line."""
+    import subprocess
+
+    env = dict(os.environ)
+    env["FTRL_BENCH_CHILD"] = "1"
+    for pallas in ("auto", "off"):
+        env["FTRL_BENCH_PALLAS"] = pallas
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=1500, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench child timed out (use_pallas={pallas})", file=sys.stderr)
+            continue
+        tail = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if out.returncode == 0 and tail:
+            print(tail[-1])
+            return
+        print(out.stdout[-2000:] + out.stderr[-2000:], file=sys.stderr)
+    raise SystemExit("bench failed on both kernel paths")
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("FTRL_BENCH_CHILD"):
+        main()
+    else:
+        _watchdog()

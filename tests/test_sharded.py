@@ -175,3 +175,27 @@ def test_sharded_sparse_update_matches_single_device(model_type):
             np.asarray(lstate.vec_z), np.asarray(out1.state.vec_z),
             rtol=1e-4, atol=1e-7,
         )
+
+
+def test_route_capacity_overflow_drops_gracefully():
+    """With a tiny route_capacity, overflowing occurrences are dropped (not
+    corrupted): the step still runs, and rows that did fit still update."""
+    cfg = _cfg("LR", lookup_mode="route", route_capacity=0.01)
+    model = make_model(cfg)
+    rng = np.random.default_rng(7)
+    arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats, cfg.n_fields,
+                           pad_tail=0)
+    # every occurrence the same id -> one owner bucket, guaranteed overflow
+    arrays = (arrays[0], np.full_like(arrays[1], 3), arrays[2], arrays[3], arrays[4])
+
+    mesh = make_mesh(2, 4)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    assert step.mode == "route" and step.route_k == 8  # clamped minimum
+    sstate, logits, loss_sum, count = step.train_step(sstate, step.place_batch(arrays))
+    assert np.isfinite(float(loss_sum))
+    lstate = unshard_state(sstate, 4, cfg.n_feats)
+    # id 3 received *some* gradient (the routed portion), everything else none
+    z = np.asarray(lstate.lin_z)
+    assert z[3] != 0.0
+    assert np.all(z[:3] == 0.0) and np.all(z[4:] == 0.0)
