@@ -132,9 +132,15 @@ def main(argv: list[str] | None = None) -> int:
         )
     kwargs = {k: v for k, v in vars(args).items() if k not in _NON_CONFIG_FLAGS}
     cfg = Config(**kwargs)
-    if not cfg.train_data and not cfg.cmd:
-        print("error: --train_data is required (or --cmd true for stdin)",
-              file=sys.stderr)
+    serve_only = bool(args.load_model) and bool(
+        args.predict_data or cfg.eval_data
+    )
+    if not cfg.train_data and not cfg.cmd and not serve_only:
+        print(
+            "error: --train_data is required (or --cmd true for stdin, or "
+            "--load_model with --predict_data/--eval_data for serving/eval)",
+            file=sys.stderr,
+        )
         return 2
 
     from ftrl_ffm_tpu.train import Trainer
@@ -147,8 +153,21 @@ def main(argv: list[str] | None = None) -> int:
         print(f"resumed from {args.load_model} (step {int(state.step)})")
 
     t0 = time.perf_counter()
+    if not cfg.max_nnz and serve_only and args.predict_data and not cfg.eval_data:
+        from ftrl_ffm_tpu.data.parser import sniff_max_nnz
+        from ftrl_ffm_tpu.config import detect_file_type
+
+        cfg.file_type = cfg.file_type or detect_file_type(args.predict_data)
+        cfg.max_nnz = sniff_max_nnz(args.predict_data, cfg.file_type)
     trainer = Trainer(cfg, state=state)
-    trainer.train(profile_dir=args.profile_dir or None)
+    if cfg.train_data or cfg.cmd:
+        trainer.train(profile_dir=args.profile_dir or None)
+    elif cfg.eval_data:
+        eval_loss, eval_auc = trainer.evaluate()
+        if cfg.eval_auc:
+            print(f"eval loss: {eval_loss:.4f}, eval auc: {eval_auc:.4f}")
+        else:
+            print(f"eval loss: {eval_loss:.4f}")
     print(f"total time: {time.perf_counter() - t0:.4f}s")
 
     if args.predict_data:

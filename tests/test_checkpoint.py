@@ -226,3 +226,67 @@ def test_sharded_checkpoint_streams_logical_rows(tmp_path):
     step2 = ShardedStep(cfg, mesh2, s2)
     s2, _, loss2, _ = step2.train_step(s2, step2.place_batch(arrays))
     np.testing.assert_allclose(float(loss2), float(ref2.loss_sum), rtol=1e-5)
+
+
+def test_cli_serve_only_predict_and_eval(tmp_path, capsys):
+    """--load_model + --predict_data/--eval_data without --train_data:
+    the serving/eval-only entry path (new vs the reference, whose main can
+    only train)."""
+    from ftrl_ffm_tpu.cli import main
+
+    data = str(tmp_path / "train.ffm")
+    _write_ffm_file(data, n=64)
+    ckpt = str(tmp_path / "model.ckpt")
+    assert main([
+        "--train_data", data, "--model_type", "FFM",
+        "--n_fields", str(N_FIELDS), "--n_feats", str(N_FEATS),
+        "--n_factors", str(K), "--batch_size", "32",
+        "--model_path", ckpt,
+    ]) == 0
+    capsys.readouterr()
+
+    out = str(tmp_path / "preds.txt")
+    rc = main([
+        "--model_type", "FFM", "--n_fields", str(N_FIELDS),
+        "--n_feats", str(N_FEATS), "--n_factors", str(K),
+        "--batch_size", "16", "--load_model", ckpt,
+        "--predict_data", data, "--predict_output", out,
+    ])
+    assert rc == 0
+    assert len(open(out).readlines()) == 64
+
+    rc = main([
+        "--model_type", "FFM", "--n_fields", str(N_FIELDS),
+        "--n_feats", str(N_FEATS), "--n_factors", str(K),
+        "--batch_size", "16", "--load_model", ckpt,
+        "--eval_data", data,
+    ])
+    assert rc == 0
+    assert "eval loss:" in capsys.readouterr().out
+
+
+def test_bfloat16_table_dtype_trains(tmp_path):
+    """table_dtype=bfloat16 (halved factor-table gather/scatter HBM
+    traffic): trains, loss stays close to the f32 run, state round-trips
+    through a checkpoint."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+    import jax.numpy as jnp
+
+    data = str(tmp_path / "train.ffm")
+    _write_ffm_file(data, n=256)
+    kw = dict(train_data=data, model_type="FFM", n_fields=N_FIELDS,
+              n_feats=N_FEATS, n_factors=K, batch_size=32, n_epochs=2,
+              w_alpha=0.05)
+    t16 = Trainer(Config(**kw, table_dtype="bfloat16"))
+    h16 = t16.train()
+    t32 = Trainer(Config(**kw))
+    h32 = t32.train()
+    assert t16.state.vec_w.dtype == jnp.bfloat16
+    assert abs(h16["train_loss"][-1] - h32["train_loss"][-1]) < 5e-3
+
+    ck = str(tmp_path / "bf16.ckpt")
+    save_checkpoint(ck, t16.state)
+    loaded, _ = load_checkpoint(ck)
+    assert loaded.vec_w.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(loaded.vec_w), np.asarray(t16.state.vec_w))
