@@ -57,7 +57,7 @@ def parse_lines(
 
 
 def parse_text(
-    text: str,
+    text: str | bytes,
     file_type: str,
     max_nnz: int,
     n_feats: int,
@@ -66,13 +66,16 @@ def parse_text(
 ) -> ParsedChunk:
     """Parse a chunk of libsvm/libffm text into padded arrays.
 
-    Uses the C++ fast path (ftrl_ffm_tpu/native) when available; the
-    vectorized-numpy implementation below is the always-available fallback
-    and numerical ground truth (tests assert both agree)."""
+    Uses the C++ fast path (ftrl_ffm_tpu/native) when available — raw bytes
+    go straight to it, no decode; the vectorized-numpy implementation below
+    is the always-available fallback and numerical ground truth (tests
+    assert both agree)."""
     if use_native:
         out = parse_text_native(text, file_type, max_nnz, n_feats, n_fields)
         if out is not None:
             return out
+    if isinstance(text, bytes):
+        text = text.decode()
     return parse_text_numpy(text, file_type, max_nnz, n_feats, n_fields)
 
 

@@ -17,15 +17,17 @@ supported by passing a file object.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 import queue
 import threading
 from typing import IO, Iterator, Optional
 
 import numpy as np
 
-from ftrl_ffm_tpu.data.parser import parse_lines
+from ftrl_ffm_tpu.data.parser import parse_lines, parse_text
 
 CHUNK_LINES = 20000  # reference: src/include/concurrent/pc_task.h:34
+BLOCK_BYTES = 4 << 20  # file-path fast path: newline-aligned binary blocks
 
 
 class StreamReader:
@@ -70,37 +72,34 @@ class StreamReader:
             return open(self.path_or_file, "r")
         return self.path_or_file  # e.g. sys.stdin for --cmd mode
 
-    def _lines(self, fh: IO[str]):
-        """Lines of the stream, restricted to self.byte_range if set.
+    def _byte_blocks(self):
+        """Newline-aligned binary blocks of the file (or byte_range slice).
 
-        Ranged reads go through a separate binary handle with 8 MB block
-        reads (text-mode tell()-per-line is pathologically slow)."""
-        if self.byte_range is None:
-            yield from fh
-            return
-        lo, hi = self.byte_range
+        The fast path for file inputs: no Python per-line loop, no
+        str join/encode — raw bytes go straight to the C++ chunk parser.
+        byte_range must be line-aligned (data/loader.py::process_byte_range);
+        a line *starting* before the range end belongs to this shard and is
+        completed past the boundary."""
+        lo, hi = self.byte_range or (0, os.path.getsize(self.path_or_file))
         if hi <= lo:
             return
-        with open(self.path_or_file, "rb") as fb:
-            fb.seek(lo)
+        with open(self.path_or_file, "rb") as f:
+            f.seek(lo)
             remaining = hi - lo
-            buf = b""
             while remaining > 0:
-                block = fb.read(min(8 << 20, remaining))
-                if not block:
+                blk = f.read(min(BLOCK_BYTES, remaining))
+                if not blk:
                     break
-                remaining -= len(block)
-                buf += block
-                parts = buf.split(b"\n")
-                buf = parts.pop()
-                for p in parts:
-                    yield p.decode() + "\n"
-            if buf:
-                yield buf.decode()
+                remaining -= len(blk)
+                if not blk.endswith(b"\n"):
+                    extra = f.readline()  # complete the split line
+                    blk += extra
+                    remaining -= len(extra)
+                yield blk
 
     def batches(self) -> Iterator[tuple]:
         """One epoch of (fields, feats, vals, y, sample_w) batches."""
-        # Producer thread reads line chunks and submits them to a parse pool;
+        # Producer thread reads chunks and submits them to a parse pool;
         # chunk futures are queued in order so batch order == file order (the
         # reference's "each example seen once per epoch, in stream order").
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -112,27 +111,48 @@ class StreamReader:
                 lines, self.file_type, self.max_nnz, self.n_feats, self.n_fields
             )
 
+        def parse_block(blk: bytes):
+            return parse_text(
+                blk, self.file_type, self.max_nnz, self.n_feats, self.n_fields
+            )
+
+        def log_progress(seen, prev):
+            # threshold-crossing check: fires for any chunk size, not only
+            # when it divides log_every
+            if self.log_every and seen // self.log_every > prev // self.log_every:
+                print(f"processing {seen} examples")
+
+        def produce_blocks():
+            # file fast path: newline-aligned byte blocks straight to the
+            # C++ chunk parser — no Python line loop, no join/encode
+            seen = 0
+            for blk in self._byte_blocks():
+                q.put(pool.submit(parse_block, blk))
+                prev, seen = seen, seen + blk.count(b"\n")
+                log_progress(seen, prev)
+
+        def produce_lines():
+            fh = self._open()
+            lines: list[str] = []
+            seen = 0
+            for ln in fh:
+                if not ln.strip():
+                    continue
+                lines.append(ln)
+                if len(lines) >= self.chunk_lines:
+                    q.put(pool.submit(parse, lines))
+                    prev, seen = seen, seen + len(lines)
+                    log_progress(seen, prev)
+                    lines = []
+            if lines:
+                q.put(pool.submit(parse, lines))
+
         def produce():
             try:
-                fh = self._open()
-                lines: list[str] = []
-                seen = 0
-                for ln in self._lines(fh):
-                    if not ln.strip():
-                        continue
-                    lines.append(ln)
-                    if len(lines) >= self.chunk_lines:
-                        q.put(pool.submit(parse, lines))
-                        prev, seen = seen, seen + len(lines)
-                        # threshold-crossing check: fires for any chunk_lines,
-                        # not only when it divides log_every
-                        if self.log_every and seen // self.log_every > prev // self.log_every:
-                            print(f"processing {seen} examples")
-                        lines = []
-                if lines:
-                    q.put(pool.submit(parse, lines))
                 if isinstance(self.path_or_file, str):
-                    fh.close()
+                    produce_blocks()
+                else:
+                    produce_lines()
             except BaseException as e:  # surfaced to the consumer
                 err.append(e)
             finally:
