@@ -118,7 +118,8 @@ def load_file(
         with open(path, "rb") as f:
             f.seek(rng[0])
             raw = f.read(rng[1] - rng[0])
-        return parse_text(raw.decode(), file_type, max_nnz, n_feats, n_fields)
+        # raw bytes go straight to the C++ chunk parser (no decode copy)
+        return parse_text(raw, file_type, max_nnz, n_feats, n_fields)
 
     if len(parts) == 1:
         chunks = [parse_range(parts[0])]
