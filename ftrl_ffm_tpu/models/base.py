@@ -23,10 +23,12 @@ from ftrl_ffm_tpu.config import Config
 from ftrl_ffm_tpu.ftrl import (
     FtrlParams,
     bias_update,
+    dense_ftrl_update,
     dense_ftrl_update2,
     dense_ftrl_update_inplace,
     ftrl_weights,
     select_update_kind,
+    sparse_ftrl_update,
     sparse_ftrl_update2,
 )
 
@@ -208,6 +210,13 @@ class Model:
             return logits, (g_vec, g_vec * g_vec)
         return logits, (jnp.concatenate([g_vec, g_vec * g_vec], axis=-1),)
 
+    def _emits_combined(self) -> bool:
+        """True when the grad producer can emit the combined (g || g^2)
+        layout for free (the fused Pallas kernel writes it from VMEM).  The
+        XLA fallback would need a materializing concat, so it prefers split
+        payloads + the two-scatter update."""
+        return False
+
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
@@ -220,9 +229,8 @@ class Model:
                 state.vec_n.shape[0], state.vec_n.shape[-1], nnz,
                 self.cfg.update_mode,
             )
-        logits, payload = self._train_grads(
-            state, batch, split=vec_kind == "inplace"
-        )
+        split = vec_kind == "inplace" or not self._emits_combined()
+        logits, payload = self._train_grads(state, batch, split=split)
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 
@@ -247,6 +255,15 @@ class Model:
         if payload is not None:
             if vec_kind == "inplace":
                 vec_n, vec_z, vec_w = dense_ftrl_update_inplace(
+                    state.vec_n, state.vec_z, state.vec_w, ids, *payload, p
+                )
+            elif len(payload) == 2:  # split (XLA fallback): two scatters
+                vec_update = (
+                    sparse_ftrl_update
+                    if vec_kind == "sparse2"
+                    else dense_ftrl_update
+                )
+                vec_n, vec_z, vec_w = vec_update(
                     state.vec_n, state.vec_z, state.vec_w, ids, *payload, p
                 )
             else:

@@ -37,6 +37,9 @@ class FFM(Model):
             return False
         return jax.default_backend() == "tpu"
 
+    def _emits_combined(self) -> bool:
+        return self._use_pallas()
+
     def _train_grads(self, state: ModelState, batch: Batch, split: bool):
         """Fused Pallas path on TPU: one VMEM pass computes logits and the
         FTRL payload — no [B, F, C*K] HBM intermediates and no concat (the
