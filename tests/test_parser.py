@@ -130,3 +130,35 @@ def test_native_parser_truncation():
     ref = parse_text_numpy(text, "libffm", 3, 1000, 3)
     np.testing.assert_array_equal(nat.feats, ref.feats)
     assert nat.nnz[0] == 5  # true nnz preserved pre-truncation
+
+
+def test_stream_block_mode_no_trailing_newline(tmp_path):
+    """Block-mode streaming (bytes -> C++ parser) handles files without a
+    final newline and with blank lines."""
+    from ftrl_ffm_tpu.data.stream import StreamReader
+
+    p = tmp_path / "x.ffm"
+    p.write_text("1 0:1:1.0 1:2:1.0\n\n0 0:3:1.0 1:4:1.0\n1 1:1:1.0 0:2:1.0")
+    r = StreamReader(str(p), "libffm", 2, 2, 10, 4)
+    batches = list(r.batches())
+    total = sum(int(a[4].sum()) for a in batches)
+    assert total == 3
+    ys = np.concatenate([a[3][a[4] > 0] for a in batches])
+    np.testing.assert_array_equal(ys, [1.0, 0.0, 1.0])
+
+
+def test_stream_block_boundary_splits_line(tmp_path):
+    """A line split across the block boundary is completed, not duplicated."""
+    import ftrl_ffm_tpu.data.stream as st
+
+    p = tmp_path / "y.ffm"
+    lines = [f"{i % 2} 0:{i % 7}:1 1:{(i + 3) % 7}:1" for i in range(500)]
+    p.write_text("\n".join(lines) + "\n")
+    old = st.BLOCK_BYTES
+    st.BLOCK_BYTES = 97  # force many mid-line block splits
+    try:
+        r = st.StreamReader(str(p), "libffm", 64, 2, 10, 4)
+        total = sum(int(a[4].sum()) for a in r.batches())
+    finally:
+        st.BLOCK_BYTES = old
+    assert total == 500
