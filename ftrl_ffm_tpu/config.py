@@ -60,11 +60,14 @@ class Config:
     # ~45%; bfloat16 quantizes feature values to 8 mantissa bits (exact for
     # the 1.0-valued categorical features of CTR data).
     compact_transfer: bool = True
-    # FTRL table update strategy: "dense" scatter-adds (g, g^2) into
-    # table-shaped accumulators + one fused full-table pass (fastest while
-    # the table is not much larger than the batch's nnz); "sparse" updates
-    # touched rows only via sort/segment-sum (O(nnz) temps — required for
-    # very large tables); "auto" picks per table (ftrl.select_ftrl_update).
+    # FTRL table update strategy: "dense" scatter-adds the combined (g, g^2)
+    # payload into a table-shaped accumulator + one fused full-table pass
+    # (fastest while the table is not much larger than the batch's nnz);
+    # "sparse" updates touched rows only via sort/segment-sum (O(nnz) temps);
+    # "auto" picks per table (ftrl.select_update_kind), including the
+    # in-place huge-table form (g scattered straight into z).  In
+    # lookup_mode=route the update is always the dense local-shard
+    # accumulator (table shards are 1/mesh_model of the rows).
     update_mode: str = "auto"
     # mesh: data-parallel x model-parallel(row-sharded tables)
     mesh_data: int = 1
