@@ -88,6 +88,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-training checkpoint every N steps (0 = end only)")
     p.add_argument("--load_model", default="",
                    help="resume from a full checkpoint (model_path saves one)")
+    p.add_argument("--import_reference_model", default="",
+                   help="warm-start from a reference-format zstd weight blob "
+                        "(e.g. a model trained by the C++ binary)")
     p.add_argument("--export_reference_model", default="",
                    help="also export weights as a reference-compatible zstd blob")
     p.add_argument("--profile_dir", default="",
@@ -108,6 +111,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 _NON_CONFIG_FLAGS = (
     "load_model",
+    "import_reference_model",
     "export_reference_model",
     "profile_dir",
     "predict_data",
@@ -132,7 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         )
     kwargs = {k: v for k, v in vars(args).items() if k not in _NON_CONFIG_FLAGS}
     cfg = Config(**kwargs)
-    serve_only = bool(args.load_model) and bool(
+    serve_only = bool(args.load_model or args.import_reference_model) and bool(
         args.predict_data or cfg.eval_data
     )
     if not cfg.train_data and not cfg.cmd and not serve_only:
@@ -160,6 +164,18 @@ def main(argv: list[str] | None = None) -> int:
         cfg.file_type = cfg.file_type or detect_file_type(args.predict_data)
         cfg.max_nnz = sniff_max_nnz(args.predict_data, cfg.file_type)
     trainer = Trainer(cfg, state=state)
+    if args.import_reference_model:
+        from ftrl_ffm_tpu.io.checkpoint import import_reference_model
+
+        bias, lin_w, vec_w = import_reference_model(
+            args.import_reference_model, cfg.n_feats, cfg.row_width
+        )
+        trainer.state = trainer.model.init_from_weights(bias, lin_w, vec_w)
+        if trainer._sharded is not None:
+            from ftrl_ffm_tpu.parallel import shard_state
+
+            trainer.state = shard_state(trainer.state, trainer._sharded.mesh)
+        print(f"imported reference model from {args.import_reference_model}")
     if cfg.train_data or cfg.cmd:
         trainer.train(profile_dir=args.profile_dir or None)
     elif cfg.eval_data:

@@ -18,6 +18,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ftrl_ffm_tpu.config import Config
 from ftrl_ffm_tpu.ftrl import (
@@ -315,6 +316,46 @@ class Model:
         # nonzero gaussian init on untouched rows), so restrict to touched
         touched = state.lin_n > 0
         return bool(jnp.any(jnp.logical_and(touched, state.lin_w == 0.0)))
+
+    # ---- import (reference weights -> trainable state) ----
+    def _import_vec_layout(self, vec_w):
+        """Hook: convert the reference's factor-row layout to the internal
+        one (inverse of _export_vec_layout)."""
+        return vec_w
+
+    def init_from_weights(self, bias, lin_w, vec_w=None) -> ModelState:
+        """Build a state whose materialized weights equal the given
+        reference-layout weights — the interop path for models trained by
+        the C++ binary (reference: src/model/{lr,ffm}.cpp load paths, which
+        likewise restore only w and leave n/z at zero).
+
+        Exact inversion of the closed form at n = 0:
+            w = -(z - sgn(z) l1) / (l2 + beta / alpha)
+            => z = -w * (l2 + beta / alpha) - sign(w) * l1   (w != 0)
+        so the first training touch sees exactly these weights and FTRL
+        continues naturally."""
+        p = self.params
+        d = p.l2 + p.beta / p.alpha
+
+        def z_of(w):
+            return jnp.where(w != 0.0, -w * d - jnp.sign(w) * p.l1, 0.0)
+
+        state = self.init()
+        lin_w = jnp.asarray(lin_w, jnp.float32).reshape(state.lin_w.shape)
+        bias = jnp.asarray(bias, jnp.float32).reshape(())
+        state = state._replace(
+            bias_z=z_of(bias),
+            lin_w=lin_w,
+            lin_z=z_of(lin_w),
+        )
+        if vec_w is not None:
+            vw = jnp.asarray(
+                self._import_vec_layout(np.asarray(vec_w)), jnp.float32
+            ).reshape(state.vec_w.shape)
+            state = state._replace(
+                vec_w=vw.astype(state.vec_w.dtype), vec_z=z_of(vw)
+            )
+        return state
 
     # ---- export (reference weight-layout materialization) ----
     def _export_vec_layout(self, vec_w):

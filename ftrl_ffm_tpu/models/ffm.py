@@ -29,6 +29,11 @@ class FFM(Model):
 
         return kmajor_to_reference(vec_w, self.n_fields, self.n_factors)
 
+    def _import_vec_layout(self, vec_w):
+        from ftrl_ffm_tpu.ops.layout import reference_to_kmajor
+
+        return reference_to_kmajor(vec_w, self.n_fields, self.n_factors)
+
     def _use_pallas(self) -> bool:
         mode = self.cfg.use_pallas
         if mode == "on":

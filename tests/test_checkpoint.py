@@ -290,3 +290,44 @@ def test_bfloat16_table_dtype_trains(tmp_path):
     loaded, _ = load_checkpoint(ck)
     assert loaded.vec_w.dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(loaded.vec_w), np.asarray(t16.state.vec_w))
+
+
+def test_import_reference_model_exact_and_trainable(tmp_path, capsys):
+    """Export -> --import_reference_model round trip: materialized weights
+    and predictions match exactly (closed-form inversion at n=0), and
+    training continues from the imported weights."""
+    from ftrl_ffm_tpu.cli import main
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+    from ftrl_ffm_tpu.io.checkpoint import export_reference_model
+
+    data = str(tmp_path / "train.ffm")
+    _write_ffm_file(data, n=64)
+    cfg = Config(train_data=data, model_type="FFM", n_fields=N_FIELDS,
+                 n_feats=N_FEATS, n_factors=K, batch_size=32, w_alpha=0.05)
+    tr = Trainer(cfg)
+    tr.train()
+    bias, lin_w, vec_w = tr.model.materialize_weights(tr.state)
+    blob = str(tmp_path / "ref.zst")
+    export_reference_model(blob, float(bias), lin_w, vec_w)
+
+    cfg2 = Config(model_type="FFM", n_fields=N_FIELDS, n_feats=N_FEATS,
+                  n_factors=K, batch_size=32, max_nnz=tr.cfg.max_nnz)
+    tr2 = Trainer(cfg2)
+    from ftrl_ffm_tpu.io.checkpoint import import_reference_model
+    b2, l2, v2 = import_reference_model(blob, N_FEATS, N_FIELDS * K)
+    tr2.state = tr2.model.init_from_weights(b2, l2, v2)
+    b3, l3, v3 = tr2.model.materialize_weights(tr2.state)
+    np.testing.assert_allclose(float(b3), float(bias), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(l3), np.asarray(lin_w), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(vec_w), rtol=1e-6, atol=1e-8)
+
+    # CLI: warm-start then keep training
+    rc = main([
+        "--train_data", data, "--model_type", "FFM",
+        "--n_fields", str(N_FIELDS), "--n_feats", str(N_FEATS),
+        "--n_factors", str(K), "--batch_size", "32",
+        "--import_reference_model", blob,
+    ])
+    assert rc == 0
+    assert "imported reference model" in capsys.readouterr().out
