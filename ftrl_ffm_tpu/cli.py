@@ -88,6 +88,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mid-training checkpoint every N steps (0 = end only)")
     p.add_argument("--load_model", default="",
                    help="resume from a full checkpoint (model_path saves one)")
+    p.add_argument("--auto_resume", type=_str2bool, default=False,
+                   help="if --model_path already holds a checkpoint, resume "
+                        "from it (crash -> relaunch the same command picks "
+                        "up at the last --save_every checkpoint)")
     p.add_argument("--import_reference_model", default="",
                    help="warm-start from a reference-format zstd weight blob "
                         "(e.g. a model trained by the C++ binary)")
@@ -111,6 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 _NON_CONFIG_FLAGS = (
     "load_model",
+    "auto_resume",
     "import_reference_model",
     "export_reference_model",
     "profile_dir",
@@ -150,11 +155,17 @@ def main(argv: list[str] | None = None) -> int:
     from ftrl_ffm_tpu.train import Trainer
 
     state = None
-    if args.load_model:
+    load_from = args.load_model
+    if not load_from and args.auto_resume and cfg.model_path:
+        import os
+
+        if os.path.exists(cfg.model_path):
+            load_from = cfg.model_path
+    if load_from:
         from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
 
-        state, extra = load_checkpoint(args.load_model)
-        print(f"resumed from {args.load_model} (step {int(state.step)})")
+        state, extra = load_checkpoint(load_from)
+        print(f"resumed from {load_from} (step {int(state.step)})")
 
     t0 = time.perf_counter()
     if not cfg.max_nnz and serve_only and args.predict_data and not cfg.eval_data:

@@ -331,3 +331,28 @@ def test_import_reference_model_exact_and_trainable(tmp_path, capsys):
     ])
     assert rc == 0
     assert "imported reference model" in capsys.readouterr().out
+
+
+def test_cli_auto_resume(tmp_path, capsys):
+    """Elastic recovery: relaunching the same command with --auto_resume
+    picks up from the checkpoint at --model_path."""
+    from ftrl_ffm_tpu.cli import main
+
+    data = str(tmp_path / "train.ffm")
+    _write_ffm_file(data, n=64)
+    ckpt = str(tmp_path / "model.ckpt")
+    args = [
+        "--train_data", data, "--model_type", "FFM",
+        "--n_fields", str(N_FIELDS), "--n_feats", str(N_FEATS),
+        "--n_factors", str(K), "--batch_size", "32",
+        "--model_path", ckpt, "--auto_resume", "true",
+    ]
+    assert main(args) == 0
+    out1 = capsys.readouterr().out
+    assert "resumed" not in out1  # first run: nothing to resume
+    st1, _ = load_checkpoint(ckpt)
+    assert main(args) == 0
+    out2 = capsys.readouterr().out
+    assert "resumed from" in out2
+    st2, _ = load_checkpoint(ckpt)
+    assert int(st2.step) == 2 * int(st1.step)
