@@ -282,14 +282,21 @@ class ShardedStep:
         b_local = batch.feats.shape[0]
         if cfg.model_type == "LR":
             return lin, None
-        if cfg.model_type == "FFM" and train and self._use_pallas(b_local):
-            from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
+        if cfg.model_type == "FFM" and self._use_pallas(b_local):
+            if train:
+                from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
 
-            return ffm_fused_logits_grads(
-                v, batch.fields, batch.vals, lin, batch.y, batch.sample_w,
-                cfg.n_fields, cfg.n_factors, compute_grads=True,
-                combined_out=True,
+                return ffm_fused_logits_grads(
+                    v, batch.fields, batch.vals, lin, batch.y, batch.sample_w,
+                    cfg.n_fields, cfg.n_factors, compute_grads=True,
+                    combined_out=True,
+                )
+            from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
+
+            logits = ffm_fused_logits(
+                v, batch.fields, batch.vals, lin, cfg.n_fields, cfg.n_factors
             )
+            return logits, None
         v3 = v.reshape(b_local, -1, v.shape[-1])
         if cfg.model_type == "FM":
             logits, dv = fm_logits_and_grads(v3, batch.vals, lin)
