@@ -55,10 +55,13 @@ class Config:
     # gather/scatter HBM traffic; weights round to 8 mantissa bits.
     table_dtype: str = "float32"     # "float32" | "bfloat16"
     use_pallas: str = "auto"         # "auto" (TPU only) | "on" | "off"
-    # Compact host->device transfer: fields int8/int16, values bfloat16,
-    # labels/sample weights int8 (widened on device).  Cuts upload bytes
-    # ~45%; bfloat16 quantizes feature values to 8 mantissa bits (exact for
-    # the 1.0-valued categorical features of CTR data).
+    # Compact host->device transfer (lossless): fields int8/int16, feature
+    # ids per-column uint16 deltas off an int32 base row, values int8 when
+    # integral / bfloat16 when exactly representable / f32 otherwise,
+    # labels + integral sample weights int8 — widened on device
+    # (models/base.py::widen_batch).  Every narrowing is verified exact on
+    # host per batch, so numerics never change; CTR batches shrink ~2x
+    # (1.29 MB per 8192 samples at 39 fields, was 2.36).
     compact_transfer: bool = True
     # FTRL table update strategy: "dense" scatter-adds the combined (g, g^2)
     # payload into a table-shaped accumulator + one fused full-table pass
