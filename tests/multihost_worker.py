@@ -1,10 +1,13 @@
 """Subprocess worker for the 2-process jax.distributed CPU test.
 
-Usage: python tests/multihost_worker.py <coordinator> <nprocs> <pid> <data> <out.json>
+Usage: python tests/multihost_worker.py <coordinator> <nprocs> <pid> <data>
+           <out.json> [mesh_model] [lookup_mode]
 
 Each process initializes jax.distributed, trains the same config (streaming
 its own byte-range of the file — ftrl_ffm_tpu.data.loader.process_byte_range)
-and dumps its loss history as JSON.
+and dumps its loss history as JSON.  Optional mesh_model/lookup_mode select
+the production shape: row-sharded tables + all_to_all routed lookups over a
+mesh that spans both processes.
 """
 
 import json
@@ -13,6 +16,8 @@ import sys
 
 def main() -> None:
     coord, nprocs, pid, data, out = sys.argv[1:6]
+    mesh_model = int(sys.argv[6]) if len(sys.argv) > 6 else 1
+    lookup_mode = sys.argv[7] if len(sys.argv) > 7 else "auto"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -35,6 +40,11 @@ def main() -> None:
         batch_size=256,
         n_epochs=2,
         online=True,
+        # mesh_data=0: span ALL global devices (both processes) on the data
+        # axis — make_mesh resolves 0 to device_count // mesh_model
+        mesh_data=0 if mesh_model > 1 else 1,
+        mesh_model=mesh_model,
+        lookup_mode=lookup_mode,
     )
     tr = Trainer(cfg)
     hist = tr.train()

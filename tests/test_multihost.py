@@ -67,10 +67,7 @@ def test_ranged_load_file_matches_full(tmp_path):
     np.testing.assert_array_equal(np.concatenate([p.y for p in parts]), full.y)
 
 
-def test_two_process_distributed_matches_single(tmp_path):
-    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
-
-    # single-process ground truth (plain single-device Trainer)
+def _single_process_ref(data):
     from ftrl_ffm_tpu.config import Config
     from ftrl_ffm_tpu.train import Trainer
 
@@ -78,8 +75,11 @@ def test_two_process_distributed_matches_single(tmp_path):
         train_data=data, eval_data=data, model_type="FFM", n_fields=4,
         n_feats=50, n_factors=4, batch_size=256, n_epochs=2, online=True,
     )
-    ref = Trainer(cfg).train()
+    return Trainer(cfg).train()
 
+
+def _run_two_processes(tmp_path, data, extra_args=()):
+    """Launch 2 jax.distributed CPU workers; return their history dicts."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -93,7 +93,8 @@ def test_two_process_distributed_matches_single(tmp_path):
     outs = [str(tmp_path / f"hist{p}.json") for p in range(2)]
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(p), data, outs[p]],
+            [sys.executable, worker, coord, "2", str(p), data, outs[p],
+             *map(str, extra_args)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -106,14 +107,41 @@ def test_two_process_distributed_matches_single(tmp_path):
         logs.append(out.decode())
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log}"
+    return [json.load(open(path)) for path in outs]
 
-    for path in outs:
-        hist = json.load(open(path))
+
+def test_two_process_distributed_matches_single(tmp_path):
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    ref = _single_process_ref(data)
+
+    for hist in _run_two_processes(tmp_path, data):
         assert hist["process_count"] == 2
         assert hist["device_count"] == 8
         assert hist["local_device_count"] == 4
         # 256 lines in ONE global batch of 256 (128 per process): identical
         # math to the single-process run up to f32 reassociation
+        np.testing.assert_allclose(
+            hist["train_loss"], ref["train_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_loss"], ref["eval_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_auc"], ref["eval_auc"], rtol=1e-4
+        )
+
+
+def test_two_process_route_sharded_matches_single(tmp_path):
+    """The full production shape executed for real: 2 processes, tables
+    row-sharded over mesh_model=2 with all_to_all routed lookups (a
+    (4 data x 2 model) mesh spanning both processes), vs the plain
+    single-device run."""
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    ref = _single_process_ref(data)
+
+    for hist in _run_two_processes(tmp_path, data, extra_args=(2, "route")):
+        assert hist["process_count"] == 2
+        assert hist["device_count"] == 8
         np.testing.assert_allclose(
             hist["train_loss"], ref["train_loss"], rtol=2e-5
         )
