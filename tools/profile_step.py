@@ -16,6 +16,8 @@ phases (default: pallas xla infer):
     infer    inference/eval step (fused inference kernel on TPU)
     sharded  ShardedStep on a 1x1 mesh (shard_map + collectives overhead)
     huge     train step at N_FEATS=1M (auto-selects the in-place update)
+    trace    jax.profiler trace of 5 chained train steps; prints the top
+             device ops by ms/step (the BASELINE.md step breakdown)
     tiny     trivial jit (relay/device liveness probe)
 Env: BATCH (8192), N_FEATS (100000), run under JAX_PLATFORMS=cpu for a
 functional (not perf) check off-TPU.
@@ -126,6 +128,37 @@ def time_sharded(cfg, model, state, batch) -> float:
     return (t2 - t1) / 12 * 1e3
 
 
+def trace_step(cfg, model, state, batch, steps: int = 5) -> None:
+    """Capture a jax.profiler trace of `steps` chained train steps and print
+    per-op device time (reads the trace.json.gz the TPU backend emits)."""
+    import collections
+    import glob
+    import gzip
+    import json
+    import tempfile
+
+    import jax
+
+    f = jax.jit(model.train_step, donate_argnums=0)
+    out = f(state, batch)
+    float(out.loss_sum)  # compile + warm-up outside the trace
+    tmp = tempfile.mkdtemp(prefix="ftrl_trace_")
+    with jax.profiler.trace(tmp):
+        for _ in range(steps):
+            out = f(out.state, batch)
+        float(out.loss_sum)
+    dur: collections.Counter = collections.Counter()
+    for p in glob.glob(f"{tmp}/**/*.trace.json.gz", recursive=True):
+        with gzip.open(p) as fh:
+            data = json.load(fh)
+        for e in data.get("traceEvents", []):
+            if e.get("ph") == "X":
+                dur[e.get("name", "?")] += e.get("dur", 0)
+    print(f"trace: top device ops (ms/step over {steps} steps), {tmp}")
+    for name, d in dur.most_common(24):
+        print(f"  {d / 1e3 / steps:9.3f} ms  {name[:100]}", flush=True)
+
+
 def main() -> None:
     phases = sys.argv[1:] or ["pallas", "xla", "infer"]
     for phase in phases:
@@ -141,6 +174,9 @@ def main() -> None:
             os.environ.setdefault("N_FEATS", "1000000")
         use_pallas = "off" if phase == "xla" else "auto"
         cfg, model, state, batch = build(use_pallas)
+        if phase == "trace":
+            trace_step(cfg, model, state, batch)
+            continue
         timer = {"infer": time_infer, "sharded": time_sharded}.get(phase, time_train)
         ms = timer(cfg, model, state, batch)
         print(
