@@ -70,6 +70,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--table_dtype", default="float32",
                    choices=("float32", "bfloat16"),
                    help="storage dtype for the factor weight table vec_w")
+    p.add_argument("--acc_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="gradient payload/accumulator dtype on the fused "
+                        "path (bfloat16 halves the dominant scatter bytes)")
     p.add_argument("--use_pallas", default="auto",
                    choices=("auto", "on", "off"),
                    help="fused TPU kernel for the FFM step (auto = TPU only)")

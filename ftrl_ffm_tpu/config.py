@@ -72,6 +72,14 @@ class Config:
     # lookup_mode=route the update is always the dense local-shard
     # accumulator (table shards are 1/mesh_model of the rows).
     update_mode: str = "auto"
+    # Gradient-accumulator dtype for the combined (g || g^2) payload +
+    # scatter accumulator on the Pallas path: "bfloat16" halves the bytes of
+    # the dominant train-step pass (kernel payload write, scatter read + RMW,
+    # accumulator zero-init + closed-form read) at ~3 significant digits per
+    # per-occurrence gradient; (n, z, w) tables and the closed form stay f32.
+    # Duplicate-id accumulation error is O(2^-8) relative per step.  Default
+    # f32 preserves exact parity with the XLA path and the reference.
+    acc_dtype: str = "float32"       # "float32" | "bfloat16"
     # mesh: data-parallel x model-parallel(row-sharded tables)
     mesh_data: int = 1
     mesh_model: int = 1
@@ -108,6 +116,8 @@ class Config:
             raise ValueError(f"invalid update_mode: {self.update_mode}")
         if self.table_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"invalid table_dtype: {self.table_dtype}")
+        if self.acc_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"invalid acc_dtype: {self.acc_dtype}")
         if self.lookup_mode not in ("auto", "replicate", "route"):
             raise ValueError(f"invalid lookup_mode: {self.lookup_mode}")
 

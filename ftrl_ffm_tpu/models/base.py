@@ -191,14 +191,17 @@ class Model:
     def predict_proba(self, state: ModelState, batch: Batch) -> jax.Array:
         return jax.nn.sigmoid(self.predict_logits(state, batch))
 
-    def _train_grads(self, state: ModelState, batch: Batch, split: bool):
+    def _train_grads(
+        self, state: ModelState, batch: Batch, split: bool, payload_dtype=None
+    ):
         """(logits, payload) for one train step; payload is None (LR),
         (gg2 [B*F, 2D],) with the factor gradient (already scaled by
         gs = (sigmoid(logit) - y) * sample_w) in lanes [:D] and its square
         in [D:] — the combined payload for the single FTRL scatter — or,
         when split=True (huge-table in-place update), separate
         (g [B*F, D], g2 [B*F, D]).  Subclasses may fuse this (the FFM
-        Pallas kernel emits either layout directly)."""
+        Pallas kernel emits either layout directly).  payload_dtype narrows
+        the emitted payload (Config.acc_dtype)."""
         logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
         if dlogit_dv is None:
             return logits, None
@@ -207,9 +210,13 @@ class Model:
             dlogit_dv.shape[0], dlogit_dv.shape[1], -1
         )
         g_vec = g_vec.reshape(g_vec.shape[0] * g_vec.shape[1], -1)
+        g2_vec = g_vec * g_vec
+        if payload_dtype is not None:
+            g_vec = g_vec.astype(payload_dtype)
+            g2_vec = g2_vec.astype(payload_dtype)
         if split:
-            return logits, (g_vec, g_vec * g_vec)
-        return logits, (jnp.concatenate([g_vec, g_vec * g_vec], axis=-1),)
+            return logits, (g_vec, g2_vec)
+        return logits, (jnp.concatenate([g_vec, g2_vec], axis=-1),)
 
     def _emits_combined(self) -> bool:
         """True when the grad producer can emit the combined (g || g^2)
@@ -231,7 +238,18 @@ class Model:
                 self.cfg.update_mode,
             )
         split = vec_kind == "inplace" or not self._emits_combined()
-        logits, payload = self._train_grads(state, batch, split=split)
+        # bf16 payload/accumulator only for the dense combined path: the
+        # in-place update scatters g into the f32 z table directly, and the
+        # sparse path's long segment sums want f32 accumulation
+        payload_dtype = (
+            jnp.bfloat16
+            if self.cfg.acc_dtype == "bfloat16" and vec_kind == "dense2"
+            and not split
+            else None
+        )
+        logits, payload = self._train_grads(
+            state, batch, split=split, payload_dtype=payload_dtype
+        )
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
 

@@ -13,6 +13,7 @@ typo we deliberately do NOT reproduce.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 
 from ftrl_ffm_tpu.models.base import Batch, Model, ModelState
 from ftrl_ffm_tpu.ops.interactions import ffm_logits_and_grads, linear_logits
@@ -45,14 +46,17 @@ class FFM(Model):
     def _emits_combined(self) -> bool:
         return self._use_pallas()
 
-    def _train_grads(self, state: ModelState, batch: Batch, split: bool):
+    def _train_grads(
+        self, state: ModelState, batch: Batch, split: bool, payload_dtype=None
+    ):
         """Fused Pallas path on TPU: one VMEM pass computes logits and the
         FTRL payload — no [B, F, C*K] HBM intermediates and no concat (the
         kernel writes the combined [B*F, 2E] layout, or separate g/g2 for
-        the huge-table in-place update, directly)."""
+        the huge-table in-place update, directly; payload_dtype bf16 halves
+        its write + the scatter's read/RMW bytes)."""
         b = batch.feats.shape[0]
         if not self._use_pallas() or b % 8:
-            return super()._train_grads(state, batch, split)
+            return super()._train_grads(state, batch, split, payload_dtype)
         from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
 
         w = self._gather_linear(state, batch.feats)
@@ -70,6 +74,7 @@ class FFM(Model):
             self.n_factors,
             compute_grads=True,
             combined_out=not split,
+            out_dtype=payload_dtype or jnp.float32,
         )
         return logits, tuple(payload)
 

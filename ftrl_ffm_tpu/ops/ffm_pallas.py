@@ -104,12 +104,15 @@ def _ffm_fused_kernel(
         )                                                # [TB, F, E]
         g = gx[:, :, None] * (t - oh_e * xv)
         g = g.reshape(tb * f, e)
+        # grads are computed f32 in VMEM; the store casts to the payload
+        # dtype (Config.acc_dtype: bf16 halves the dominant HBM passes)
         if len(out_refs) == 1:
-            out_refs[0][:, :e] = g
-            out_refs[0][:, e:] = g * g
+            dt = out_refs[0].dtype
+            out_refs[0][:, :e] = g.astype(dt)
+            out_refs[0][:, e:] = (g * g).astype(dt)
         else:
-            out_refs[0][:] = g
-            out_refs[1][:] = g * g
+            out_refs[0][:] = g.astype(out_refs[0].dtype)
+            out_refs[1][:] = (g * g).astype(out_refs[1].dtype)
     else:
         for ref in out_refs:
             ref[:] = jnp.zeros_like(ref)
@@ -119,7 +122,7 @@ def _ffm_fused_kernel(
     jax.jit,
     static_argnames=(
         "n_fields", "n_factors", "compute_grads", "block_b", "interpret",
-        "combined_out",
+        "combined_out", "out_dtype",
     ),
 )
 def ffm_fused_logits_grads(
@@ -135,6 +138,7 @@ def ffm_fused_logits_grads(
     block_b: int = 0,
     interpret: bool = False,
     combined_out: bool = True,
+    out_dtype=jnp.float32,
 ):
     """Fused FFM logits + per-occurrence grads.
 
@@ -178,12 +182,12 @@ def ffm_fused_logits_grads(
         out_specs = [pl.BlockSpec(
             (block_b * f, 2 * e), lambda i: (i, 0), memory_space=pltpu.VMEM
         )]
-        out_shape = [jax.ShapeDtypeStruct((b * f, 2 * e), jnp.float32)]
+        out_shape = [jax.ShapeDtypeStruct((b * f, 2 * e), out_dtype)]
     else:
         out_specs = [v_spec, v_spec]
         out_shape = [
-            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
-            jax.ShapeDtypeStruct((b * f, e), jnp.float32),
+            jax.ShapeDtypeStruct((b * f, e), out_dtype),
+            jax.ShapeDtypeStruct((b * f, e), out_dtype),
         ]
     col = lambda x: x.reshape(b, 1)
     # A direct gather -> Mosaic-custom-call edge deadlocks at runtime on the

@@ -74,3 +74,61 @@ def test_inference_kernel_matches_xla():
         v.reshape(b * f, e), fields, vals, lin, c, k, block_b=8, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_kernel_bf16_payload_close_to_f32():
+    """acc_dtype=bfloat16: payload emitted bf16 tracks the f32 payload to
+    bf16 precision (and g2 stays the square of g up to rounding)."""
+    rng = np.random.default_rng(3)
+    b, f, c, k = 16, 5, 4, 8
+    e = c * k
+    v = jnp.asarray(rng.normal(size=(b, f, e)).astype(np.float32) * 0.1)
+    fields = jnp.asarray(rng.integers(0, c, (b, f)).astype(np.int32))
+    vals = jnp.asarray(rng.random((b, f)).astype(np.float32))
+    lin = jnp.asarray(rng.normal(size=(b,)).astype(np.float32) * 0.1)
+    y = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
+    sw = jnp.ones((b,), jnp.float32)
+
+    common = dict(compute_grads=True, block_b=8, interpret=True)
+    logits32, gg2_32 = ffm_fused_logits_grads(
+        v.reshape(b * f, e), fields, vals, lin, y, sw, c, k, **common
+    )
+    logits16, gg2_16 = ffm_fused_logits_grads(
+        v.reshape(b * f, e), fields, vals, lin, y, sw, c, k,
+        out_dtype=jnp.bfloat16, **common
+    )
+    assert gg2_16.dtype == jnp.bfloat16
+    # logits are unaffected by the payload dtype
+    np.testing.assert_allclose(
+        np.asarray(logits16), np.asarray(logits32), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(gg2_16, np.float32), np.asarray(gg2_32),
+        rtol=1e-2, atol=1e-3,
+    )
+
+
+def test_dense_update2_bf16_payload_close_to_f32():
+    """FTRL tables stay f32 and track the f32 update to bf16 payload
+    precision when the combined payload is bf16 (Config.acc_dtype)."""
+    from ftrl_ffm_tpu.ftrl import FtrlParams, dense_ftrl_update2
+
+    rng = np.random.default_rng(4)
+    r, d, n = 32, 8, 64
+    n_tab = jnp.asarray(rng.random((r, d)).astype(np.float32))
+    z_tab = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    p = FtrlParams()
+    w_tab = jnp.zeros((r, d), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, r + 1, (n,)).astype(np.int32))  # incl. sentinel
+    g = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    gg2 = jnp.asarray(np.concatenate([g, g * g], axis=-1))
+
+    out32 = dense_ftrl_update2(n_tab, z_tab, w_tab, ids, gg2, p)
+    out16 = dense_ftrl_update2(
+        n_tab, z_tab, w_tab, ids, gg2.astype(jnp.bfloat16), p
+    )
+    for a32, a16 in zip(out32, out16):
+        assert a16.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(a16), np.asarray(a32), rtol=2e-2, atol=2e-2
+        )
