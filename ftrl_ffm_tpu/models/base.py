@@ -110,6 +110,39 @@ def widen_batch(b: Batch) -> Batch:
     )
 
 
+def state_formats(state: ModelState, device=None):
+    """Row-major layout pins for the 2-D factor tables (or None: don't pin).
+
+    XLA's entry-layout heuristic minimizes tile padding, which makes [R, E]
+    tables COLUMN-major at the jit boundary whenever E is not a lane
+    multiple (E = 624 pads 2.6% row-major vs 0.1% column-major).  Every op
+    inside the step wants row-major, so the un-pinned step pays six
+    table-sized transpose copies per call (measured 4.6 ms of a 43 ms step
+    at R=100k, E=624 on v5e).  Pinning Format(Layout((0, 1))) on the donated
+    state keeps gather -> kernel -> scatter -> closed-form in one layout end
+    to end.  Narrow rows (FM's E=k) genuinely belong column-major — lane
+    padding would blow the table up — so we only pin when the row pads
+    lightly."""
+    from jax.experimental.layout import Format, Layout
+    from jax.sharding import SingleDeviceSharding
+
+    if state.vec_n is None:
+        return None
+    e = state.vec_n.shape[-1]
+    if ((-e) % 128) * 10 > e:  # >10% lane padding: leave layouts to XLA
+        return None
+    dev = device if device is not None else jax.devices()[0]
+    sds = SingleDeviceSharding(dev)
+    rm = Format(Layout(major_to_minor=(0, 1)), sds)
+    auto = Format(None, sds)
+    return ModelState(
+        bias_n=auto, bias_z=auto,
+        lin_n=auto, lin_z=auto, lin_w=auto,
+        vec_n=rm, vec_z=rm, vec_w=rm,
+        step=auto,
+    )
+
+
 def binary_logloss(logits: jax.Array, y: jax.Array) -> jax.Array:
     """Numerically stable -y*log(s) - (1-y)*log(1-s) from the logit.
 

@@ -119,10 +119,47 @@ class Trainer:
             self._train_multi = self._sharded.train_multi
             self._eval_multi = self._sharded.eval_multi
         else:
-            self._train_step = jax.jit(self.model.train_step, donate_argnums=0)
-            self._eval_step = jax.jit(self._eval_with_auc)
-            self._train_multi = jax.jit(self._multi_train_impl, donate_argnums=0)
-            self._eval_multi = jax.jit(self._multi_eval_impl)
+            # Pin row-major table layouts at the jit boundary (see
+            # models/base.py::state_formats — kills six table-sized
+            # transpose copies per step: 43.1 -> 38.6 ms measured on v5e)
+            from ftrl_ffm_tpu.models.base import TrainOut, state_formats
+
+            fmt = state_formats(self.state)
+            jit_kw = {}
+            auto = None
+            if fmt is not None:
+                self.state = jax.device_put(self.state, fmt)
+                auto = fmt.bias_n  # layout-free Format on the same device
+                jit_kw = dict(
+                    in_shardings=(fmt, auto),
+                    out_shardings=TrainOut(
+                        state=fmt, logits=auto, loss_sum=auto, count=auto
+                    ),
+                )
+            self._train_step = jax.jit(
+                self.model.train_step, donate_argnums=0, **jit_kw
+            )
+            self._eval_step = jax.jit(
+                self._eval_with_auc,
+                **({"in_shardings": (fmt, auto)} if fmt is not None else {}),
+            )
+            self._train_multi = jax.jit(
+                self._multi_train_impl,
+                donate_argnums=0,
+                **(
+                    {
+                        "in_shardings": (fmt, auto),
+                        "out_shardings": (fmt, auto, auto),
+                    }
+                    if fmt is not None
+                    else {}
+                ),
+            )
+            self._eval_multi = jax.jit(
+                self._multi_eval_impl,
+                **({"in_shardings": (fmt, auto)} if fmt is not None else {}),
+            )
+            self._fmt, self._fmt_auto = fmt, auto
         self._spc = max(1, cfg.steps_per_call)
         # delta-encoding hysteresis: one batch that can't delta-encode
         # disables it for the rest of the run, so the jitted step sees at
@@ -555,7 +592,15 @@ class Trainer:
     @property
     def _eval_plain(self):
         if not hasattr(self, "_eval_plain_jit"):
-            self._eval_plain_jit = jax.jit(self.model.eval_step)
+            fmt = getattr(self, "_fmt", None)
+            self._eval_plain_jit = jax.jit(
+                self.model.eval_step,
+                **(
+                    {"in_shardings": (fmt, self._fmt_auto)}
+                    if fmt is not None
+                    else {}
+                ),
+            )
         return self._eval_plain_jit
 
     def save_checkpoint(self, path: str, extra: dict | None = None) -> None:

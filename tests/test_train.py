@@ -271,3 +271,38 @@ def test_compact_roundtrip_loss_identical(tmp_path):
     h1 = Trainer(_cfg(train, "", True, compact_transfer=True)).train()
     h2 = Trainer(_cfg(train, "", True, compact_transfer=False)).train()
     assert h1["train_loss"] == h2["train_loss"]
+
+
+def test_layout_pinned_state_matches_unpinned(tmp_path, monkeypatch):
+    """Row-major table-layout pinning (models/base.py::state_formats) is a
+    pure performance choice: losses are identical with pinning disabled."""
+    import ftrl_ffm_tpu.models.base as base_mod
+    from ftrl_ffm_tpu.models.base import state_formats
+
+    rng = np.random.default_rng(0)
+    path = tmp_path / "t.ffm"
+    with open(path, "w") as f:
+        for _ in range(96):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 200))}:1" for c in range(16)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(
+        train_data=str(path), model_type="FFM", n_fields=16, n_feats=200,
+        n_factors=8, batch_size=32, n_epochs=2, online=True, eval_auc=False,
+    )
+    t1 = Trainer(Config(**kw))
+    assert t1._fmt is not None  # E = 16 * 8 = 128: pinning active
+    h1 = t1.train()
+
+    monkeypatch.setattr(base_mod, "state_formats", lambda *a, **k: None)
+    import ftrl_ffm_tpu.train as train_mod
+    t2 = Trainer(Config(**kw))
+    assert t2._fmt is None
+    h2 = t2.train()
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"], rtol=1e-6)
+
+    # narrow rows (FM E=k) stay un-pinned: lane padding would blow up tables
+    from ftrl_ffm_tpu.models import make_model
+    fm = make_model(Config(model_type="FM", n_feats=50, n_factors=8))
+    assert state_formats(fm.init()) is None

@@ -45,7 +45,10 @@ def build(use_pallas: str = "auto", update_mode: str = "auto"):
     c, k = 39, 16
     cfg = Config(
         model_type="FFM", n_fields=c, n_feats=r, n_factors=k, batch_size=b,
-        max_nnz=c, use_pallas=use_pallas, update_mode=update_mode,
+        max_nnz=c, use_pallas=use_pallas,
+        update_mode=os.environ.get("UPDATE_MODE", update_mode),
+        acc_dtype=os.environ.get("ACC_DTYPE", "float32"),
+        table_dtype=os.environ.get("TABLE_DTYPE", "float32"),
     )
     model = make_model(cfg)
     state = model.init()
@@ -62,10 +65,29 @@ def build(use_pallas: str = "auto", update_mode: str = "auto"):
     return cfg, model, state, batch
 
 
-def time_train(cfg, model, state, batch) -> float:
+def _jit_train(model, state):
+    """Jitted train step with the Trainer's layout pinning
+    (models/base.py::state_formats); returns (step_fn, placed_state)."""
     import jax
 
-    f = jax.jit(model.train_step, donate_argnums=0)
+    from ftrl_ffm_tpu.models.base import TrainOut, state_formats
+
+    fmt = state_formats(state)
+    kw = {}
+    if fmt is not None:
+        state = jax.device_put(state, fmt)
+        auto = fmt.bias_n
+        kw = dict(
+            in_shardings=(fmt, auto),
+            out_shardings=TrainOut(
+                state=fmt, logits=auto, loss_sum=auto, count=auto
+            ),
+        )
+    return jax.jit(model.train_step, donate_argnums=0, **kw), state
+
+
+def time_train(cfg, model, state, batch) -> float:
+    f, state = _jit_train(model, state)
 
     def run(n: int, st):
         t0 = time.perf_counter()
@@ -139,7 +161,7 @@ def trace_step(cfg, model, state, batch, steps: int = 5) -> None:
 
     import jax
 
-    f = jax.jit(model.train_step, donate_argnums=0)
+    f, state = _jit_train(model, state)
     out = f(state, batch)
     float(out.loss_sum)  # compile + warm-up outside the trace
     tmp = tempfile.mkdtemp(prefix="ftrl_trace_")
