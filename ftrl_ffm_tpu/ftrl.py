@@ -225,6 +225,49 @@ def dense_ftrl_update2(
     return new_n, new_z, new_w.astype(w_tab.dtype)
 
 
+def dense_ftrl_update2_aug(
+    vec_n: jax.Array,
+    vec_z: jax.Array,
+    vec_w: jax.Array,
+    lin_n: jax.Array,
+    lin_z: jax.Array,
+    lin_w: jax.Array,
+    ids: jax.Array,
+    gg2a: jax.Array,
+    p: FtrlParams,
+):
+    """One scatter updates the factor AND linear tables.
+
+    gg2a: [N, 2*A] augmented payload, A = D + 1: columns [:D] hold the
+    factor grad g_vec, column D the linear grad g_lin = gs * x, columns
+    [A:A+D] and [A+D] their squares (the FFM Pallas kernel emits this
+    layout directly, see ops/ffm_pallas.py).  The [R, 2A] accumulator rows
+    pad to the same lane count as [R, 2D] on TPU (1248 -> 1280 at E=624),
+    so folding the linear payload is free in HBM bytes and saves the
+    separate 319k-index linear scatter (measured 3.9 ms of a 38.5 ms step).
+
+    Returns ((vec_n, vec_z, vec_w), (lin_n, lin_z, lin_w))."""
+    a2 = gg2a.shape[-1]
+    a = a2 // 2
+    d = a - 1
+    acc = jnp.zeros((vec_n.shape[0], a2), gg2a.dtype).at[ids].add(
+        gg2a, mode="drop"
+    )
+    w_f32 = vec_w.astype(vec_n.dtype)
+    new_vn, new_vz = ftrl_accumulate(
+        vec_n, vec_z, w_f32, acc[:, :d], acc[:, a : a + d], p
+    )
+    new_vw = jnp.where(new_vn > 0, ftrl_weights(new_vn, new_vz, p), w_f32)
+    new_ln, new_lz = ftrl_accumulate(
+        lin_n, lin_z, lin_w, acc[:, d], acc[:, a + d], p
+    )
+    new_lw = jnp.where(new_ln > 0, ftrl_weights(new_ln, new_lz, p), lin_w)
+    return (
+        (new_vn, new_vz, new_vw.astype(vec_w.dtype)),
+        (new_ln, new_lz, new_lw),
+    )
+
+
 def sparse_ftrl_update2(
     n_tab: jax.Array,
     z_tab: jax.Array,

@@ -26,6 +26,7 @@ from ftrl_ffm_tpu.ftrl import (
     bias_update,
     dense_ftrl_update,
     dense_ftrl_update2,
+    dense_ftrl_update2_aug,
     dense_ftrl_update_inplace,
     ftrl_weights,
     select_update_kind,
@@ -225,7 +226,12 @@ class Model:
         return jax.nn.sigmoid(self.predict_logits(state, batch))
 
     def _train_grads(
-        self, state: ModelState, batch: Batch, split: bool, payload_dtype=None
+        self,
+        state: ModelState,
+        batch: Batch,
+        split: bool,
+        payload_dtype=None,
+        aug: bool = False,
     ):
         """(logits, payload) for one train step; payload is None (LR),
         (gg2 [B*F, 2D],) with the factor gradient (already scaled by
@@ -258,6 +264,12 @@ class Model:
         payloads + the two-scatter update."""
         return False
 
+    def _emits_aug_combined(self) -> bool:
+        """True when the grad producer can additionally fold the linear
+        gradient into the combined payload (ftrl.py::dense_ftrl_update2_aug
+        — one scatter updates both tables)."""
+        return False
+
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
@@ -280,17 +292,50 @@ class Model:
             and not split
             else None
         )
+        want_aug = (
+            vec_kind == "dense2" and not split and self._emits_aug_combined()
+        )
         logits, payload = self._train_grads(
-            state, batch, split=split, payload_dtype=payload_dtype
+            state, batch, split=split, payload_dtype=payload_dtype,
+            aug=want_aug,
         )
         # dL/dlogit = sigmoid(logit) - y  (reference: src/model/ffm.cpp:44)
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w  # [B]
+        ids = batch.feats.reshape(-1)
+        bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
+
+        # the producer confirms the augmented layout by its payload width
+        is_aug = (
+            payload is not None
+            and len(payload) == 1
+            and payload[0].shape[-1] == 2 * (self.row_width + 1)
+        )
+        if is_aug:
+            (vec_n, vec_z, vec_w), (lin_n, lin_z, lin_w) = (
+                dense_ftrl_update2_aug(
+                    state.vec_n, state.vec_z, state.vec_w,
+                    state.lin_n, state.lin_z, state.lin_w,
+                    ids, payload[0], p,
+                )
+            )
+            count = jnp.sum(batch.sample_w)
+            per_loss = binary_logloss(logits, batch.y) * batch.sample_w
+            return TrainOut(
+                state=ModelState(
+                    bias_n=bias_n, bias_z=bias_z,
+                    lin_n=lin_n, lin_z=lin_z, lin_w=lin_w,
+                    vec_n=vec_n, vec_z=vec_z, vec_w=vec_w,
+                    step=state.step + (count > 0).astype(jnp.int32),
+                ),
+                logits=logits,
+                loss_sum=jnp.sum(per_loss),
+                count=count,
+            )
 
         # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
         # Flat [nnz] streams keep the gather->kernel->scatter chain in one
         # row-major 2-D layout (avoids relayout copies on TPU).
         g_lin = (gs[:, None] * batch.vals).reshape(-1)
-        ids = batch.feats.reshape(-1)
         gg2_lin = jnp.stack([g_lin, g_lin * g_lin], axis=-1)  # [nnz, 2]
         lin_kind = select_update_kind(
             state.lin_n.shape[0], 0, nnz, self.cfg.update_mode
@@ -301,7 +346,6 @@ class Model:
         lin_n, lin_z, lin_w = lin_update(
             state.lin_n, state.lin_z, state.lin_w, ids, gg2_lin, p
         )
-        bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if payload is not None:

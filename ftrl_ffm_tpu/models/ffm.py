@@ -46,8 +46,16 @@ class FFM(Model):
     def _emits_combined(self) -> bool:
         return self._use_pallas()
 
+    def _emits_aug_combined(self) -> bool:
+        return self._use_pallas()
+
     def _train_grads(
-        self, state: ModelState, batch: Batch, split: bool, payload_dtype=None
+        self,
+        state: ModelState,
+        batch: Batch,
+        split: bool,
+        payload_dtype=None,
+        aug: bool = False,
     ):
         """Fused Pallas path on TPU: one VMEM pass computes logits and the
         FTRL payload — no [B, F, C*K] HBM intermediates and no concat (the
@@ -75,6 +83,7 @@ class FFM(Model):
             compute_grads=True,
             combined_out=not split,
             out_dtype=payload_dtype or jnp.float32,
+            aug_lin=aug and not split,
         )
         return logits, tuple(payload)
 

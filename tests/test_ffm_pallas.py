@@ -132,3 +132,131 @@ def test_dense_update2_bf16_payload_close_to_f32():
         np.testing.assert_allclose(
             np.asarray(a16), np.asarray(a32), rtol=2e-2, atol=2e-2
         )
+
+
+def test_fused_kernel_aug_lin_payload():
+    """aug_lin=True: columns [:E]/[A:A+E] match the non-augmented payload;
+    column E carries g_lin = gs * x (+ its square in the last column)."""
+    rng = np.random.default_rng(5)
+    b, f, c, k = 16, 5, 4, 8
+    e = c * k
+    a = e + 1
+    v = jnp.asarray(rng.normal(size=(b, f, e)).astype(np.float32) * 0.1)
+    fields = jnp.asarray(rng.integers(0, c, (b, f)).astype(np.int32))
+    vals = jnp.asarray(rng.random((b, f)).astype(np.float32))
+    lin = jnp.asarray(rng.normal(size=(b,)).astype(np.float32) * 0.1)
+    y = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
+    sw = jnp.asarray((rng.random(b) > 0.2).astype(np.float32))
+
+    common = dict(compute_grads=True, block_b=8, interpret=True)
+    logits0, gg2 = ffm_fused_logits_grads(
+        v.reshape(b * f, e), fields, vals, lin, y, sw, c, k, **common
+    )
+    logits1, gg2a = ffm_fused_logits_grads(
+        v.reshape(b * f, e), fields, vals, lin, y, sw, c, k,
+        aug_lin=True, **common
+    )
+    assert gg2a.shape == (b * f, 2 * a)
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gg2a[:, :e]), np.asarray(gg2[:, :e]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        # squared terms differ by one ulp depending on fusion order
+        np.asarray(gg2a[:, a : a + e]), np.asarray(gg2[:, e:]), rtol=2e-4,
+        atol=1e-10,
+    )
+    gs = (jax.nn.sigmoid(np.asarray(logits0)) - np.asarray(y)) * np.asarray(sw)
+    g_lin = (gs[:, None] * np.asarray(vals)).reshape(-1)
+    np.testing.assert_allclose(np.asarray(gg2a[:, e]), g_lin, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(gg2a[:, -1]), g_lin * g_lin, rtol=1e-5, atol=1e-9
+    )
+
+
+def test_dense_update2_aug_matches_separate_updates():
+    """One augmented scatter == the separate vec + lin dense updates."""
+    from ftrl_ffm_tpu.ftrl import (
+        FtrlParams, dense_ftrl_update2, dense_ftrl_update2_aug,
+    )
+
+    rng = np.random.default_rng(6)
+    r, d, n = 40, 8, 96
+    a = d + 1
+    p = FtrlParams()
+    vec_n = jnp.asarray(rng.random((r, d)).astype(np.float32))
+    vec_z = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
+    vec_w = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32) * 0.01)
+    lin_n = jnp.asarray(rng.random((r,)).astype(np.float32))
+    lin_z = jnp.asarray(rng.normal(size=(r,)).astype(np.float32))
+    lin_w = jnp.asarray(rng.normal(size=(r,)).astype(np.float32) * 0.01)
+    ids = jnp.asarray(rng.integers(0, r + 1, (n,)).astype(np.int32))
+    g = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    gl = rng.normal(size=(n,)).astype(np.float32) * 0.1
+
+    gg2_vec = jnp.asarray(np.concatenate([g, g * g], axis=-1))
+    gg2_lin = jnp.asarray(np.stack([gl, gl * gl], axis=-1))
+    ga = np.concatenate([g, gl[:, None]], axis=-1)
+    gg2a = jnp.asarray(np.concatenate([ga, ga * ga], axis=-1))
+
+    vec_ref = dense_ftrl_update2(vec_n, vec_z, vec_w, ids, gg2_vec, p)
+    lin_ref = dense_ftrl_update2(lin_n, lin_z, lin_w, ids, gg2_lin, p)
+    (vn, vz, vw), (ln, lz, lw) = dense_ftrl_update2_aug(
+        vec_n, vec_z, vec_w, lin_n, lin_z, lin_w, ids, gg2a, p
+    )
+    for got, want in zip((vn, vz, vw, ln, lz, lw), (*vec_ref, *lin_ref)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_train_step_pallas_aug_matches_xla(monkeypatch):
+    """Full train_step through the fused aug path (interpret mode) ==
+    the pure-XLA path, several chained steps."""
+    import functools
+
+    import ftrl_ffm_tpu.ops.ffm_pallas as fp
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.models import Batch, make_model
+
+    for fn_name in ("ffm_fused_logits_grads", "ffm_fused_logits"):
+        orig = getattr(fp, fn_name)
+        monkeypatch.setattr(
+            fp, fn_name, functools.partial(orig, interpret=True)
+        )
+
+    rng = np.random.default_rng(7)
+    b, c, k, r, f = 16, 4, 8, 64, 4
+    kw = dict(
+        model_type="FFM", n_fields=c, n_feats=r, n_factors=k,
+        batch_size=b, max_nnz=f,
+        # keep_init random factors amplify kernel-vs-XLA ulp noise in g by
+        # sigma ~ dg/alpha = 1e4 * dg against the init w; reference
+        # semantics (w init 0) keeps the trajectories comparable
+        factor_semantics="reference",
+    )
+    cfg_p = Config(use_pallas="on", **kw)
+    cfg_x = Config(use_pallas="off", **kw)
+    m_p, m_x = make_model(cfg_p), make_model(cfg_x)
+    st_p, st_x = m_p.init(), m_x.init()
+    for i in range(3):
+        batch = Batch(
+            fields=jnp.asarray(rng.integers(0, c, (b, f)).astype(np.int32)),
+            feats=jnp.asarray(rng.integers(0, r, (b, f)).astype(np.int32)),
+            vals=jnp.asarray(rng.random((b, f)).astype(np.float32)),
+            y=jnp.asarray((rng.random(b) > 0.5).astype(np.float32)),
+            sample_w=jnp.asarray(np.ones(b, np.float32)),
+        )
+        out_p = m_p.train_step(st_p, batch)
+        out_x = m_x.train_step(st_x, batch)
+        st_p, st_x = out_p.state, out_x.state
+        np.testing.assert_allclose(
+            # kernel-vs-XLA contraction order: ~1 ulp per product, summed
+            float(out_p.loss_sum), float(out_x.loss_sum), rtol=3e-4
+        )
+    np.testing.assert_allclose(
+        # chained-step trajectories: kernel-vs-XLA ulp noise compounds
+        # through the FTRL closed form's |z| <= l1 threshold
+        np.asarray(st_p.lin_z), np.asarray(st_x.lin_z), rtol=2e-3, atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_p.vec_z), np.asarray(st_x.vec_z), rtol=2e-3, atol=5e-5
+    )
