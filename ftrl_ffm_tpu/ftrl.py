@@ -322,9 +322,10 @@ def dense_ftrl_update_inplace(
     g: jax.Array,
     g2: jax.Array,
     p: FtrlParams,
+    block_rows: int = 131072,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Huge-table dense update: scatter g straight into z, g^2 into ONE
-    table-shaped accumulator, then a fused closed-form pass.
+    table-shaped accumulator, then a *chunked* closed-form pass.
 
     Rewrites the accumulator step as
         z' = z + sum_g                (in-place scatter; z is donated)
@@ -334,15 +335,54 @@ def dense_ftrl_update_inplace(
     instead of a [R, 2D] pair: at 1M rows x 624 cols that is 2.5 GB of temp
     HBM instead of 5 GB, and one less zeros-init + full-table read.  The
     sorting sparse path is avoided entirely (TPU sorts of the [nnz] id
-    stream are the sparse path's wall)."""
-    z_mid = z_tab.at[ids].add(g, mode="drop")
+    stream are the sparse path's wall).
+
+    The closed-form pass runs block-by-block in a fori_loop with in-place
+    dynamic-update-slices on the (donated) tables.  A whole-table
+    elementwise pass is mathematically identical, but XLA's buffer
+    assignment materializes table-sized temporaries for the three-output
+    fusion (measured: 4 x 2.38 GB HLO temps at 1M x 624, an HBM OOM on
+    v5e with remat-compression thrashing); the loop caps live temps at
+    O(block_rows * D) while keeping traffic identical."""
+    z_tab = z_tab.at[ids].add(g, mode="drop")
     a = jnp.zeros(n_tab.shape, g2.dtype).at[ids].add(g2, mode="drop")
-    sigma = (jnp.sqrt(n_tab + a) - jnp.sqrt(n_tab)) / p.alpha
-    w_f32 = w_tab.astype(n_tab.dtype)
-    new_z = z_mid - sigma * w_f32
-    new_n = n_tab + a
-    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_f32)
-    return new_n, new_z, new_w.astype(w_tab.dtype)
+
+    def blk(nb, zb, wb, ab):
+        sigma = (jnp.sqrt(nb + ab) - jnp.sqrt(nb)) / p.alpha
+        wf = wb.astype(nb.dtype)
+        new_z = zb - sigma * wf
+        new_n = nb + ab
+        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), wf)
+        return new_n, new_z, new_w.astype(wb.dtype)
+
+    r = n_tab.shape[0]
+    br = min(block_rows, r)
+    full = r // br
+
+    def body(i, carry):
+        n, z, w = carry
+        s = i * br
+        new_n, new_z, new_w = blk(
+            *(jax.lax.dynamic_slice_in_dim(t, s, br) for t in (n, z, w, a))
+        )
+        n = jax.lax.dynamic_update_slice_in_dim(n, new_n, s, axis=0)
+        z = jax.lax.dynamic_update_slice_in_dim(z, new_z, s, axis=0)
+        w = jax.lax.dynamic_update_slice_in_dim(w, new_w, s, axis=0)
+        return n, z, w
+
+    n_tab, z_tab, w_tab = jax.lax.fori_loop(
+        0, full, body, (n_tab, z_tab, w_tab)
+    )
+    tail = r - full * br
+    if tail:
+        s = full * br
+        new_n, new_z, new_w = blk(
+            n_tab[s:], z_tab[s:], w_tab[s:], a[s:]
+        )
+        n_tab = jax.lax.dynamic_update_slice_in_dim(n_tab, new_n, s, axis=0)
+        z_tab = jax.lax.dynamic_update_slice_in_dim(z_tab, new_z, s, axis=0)
+        w_tab = jax.lax.dynamic_update_slice_in_dim(w_tab, new_w, s, axis=0)
+    return n_tab, z_tab, w_tab
 
 
 def select_ftrl_update2(n_rows: int, row_width: int, nnz: int, mode: str = "auto"):

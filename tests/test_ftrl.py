@@ -248,6 +248,42 @@ def test_inplace_update_matches_dense2():
     np.testing.assert_allclose(np.asarray(cw), np.asarray(ew), rtol=1e-5, atol=1e-7)
 
 
+def test_inplace_update_chunked_blocks_and_tail():
+    """The chunked closed-form pass (block_rows < R, non-dividing: full
+    blocks + static tail) is bit-identical to the single-block pass."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.ftrl import dense_ftrl_update_inplace
+
+    rng = np.random.default_rng(13)
+    R, D, N = 41, 6, 64
+    n_tab = jnp.asarray(np.abs(rng.normal(size=(R, D))).astype(np.float32))
+    z_tab = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    w_tab = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, R + 3, N).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    base = dense_ftrl_update_inplace(n_tab, z_tab, w_tab, ids, g, g * g, P)
+    for br in (16, 40, 41, 7):  # tails of 9, 1, 0, 6 rows
+        out = dense_ftrl_update_inplace(
+            n_tab, z_tab, w_tab, ids, g, g * g, P, block_rows=br
+        )
+        # ULP-level tolerance only: the fori_loop body is traced+fused
+        # (FMA) while the static tail runs op-by-op, so different
+        # block_rows choices are equivalent-not-bitwise; a fixed
+        # block_rows (one compiled program) stays bit-deterministic,
+        # which is what test_determinism.py pins.
+        for got, want in zip(out, base):
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=2e-6, atol=1e-6
+            )
+        again = dense_ftrl_update_inplace(
+            n_tab, z_tab, w_tab, ids, g, g * g, P, block_rows=br
+        )
+        for got, want in zip(again, out):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_select_update_kind_thresholds():
     from ftrl_ffm_tpu.ftrl import select_update_kind
 
