@@ -166,6 +166,36 @@ class Trainer:
         # most one feats-dtype flip (recompiles are expensive on TPU)
         self._delta_ok = True
 
+    def _drop_layout_pins(self) -> None:
+        """Rebuild the jitted steps without entry-layout pins.
+
+        Backstop for a remote-compile cache hazard observed through the
+        axon TPU relay: a cached executable whose module matches ours but
+        whose entry layouts ignore the requested row-major pins can be
+        handed back, so step outputs come out in XLA's default layout and
+        the *next* call fails jit's layout check ("Layout passed to jit
+        does not match the layout on the respective arg").  Unpinned jits
+        accept any layout; the run continues correct (just with the
+        relayout copies the pins were avoiding)."""
+        import warnings
+
+        warnings.warn(
+            "pinned table layouts rejected by a cached executable; "
+            "disabling layout pins for this run (slower, still correct)"
+        )
+        self._fmt = self._fmt_auto = None
+        self._train_step = jax.jit(self.model.train_step, donate_argnums=0)
+        self._eval_step = jax.jit(self._eval_with_auc)
+        self._train_multi = jax.jit(self._multi_train_impl, donate_argnums=0)
+        self._eval_multi = jax.jit(self._multi_eval_impl)
+        if hasattr(self, "_eval_plain_jit"):
+            del self._eval_plain_jit
+
+    def _is_layout_mismatch(self, e: ValueError) -> bool:
+        return (
+            getattr(self, "_fmt", None) is not None and "layout" in str(e).lower()
+        )
+
     # ---- multi-step (one dispatch per S batches, lax.scan) ----
     def _multi_train_impl(self, state: ModelState, batches: Batch):
         def body(st, b):
@@ -531,14 +561,26 @@ class Trainer:
             n_steps = 0
             groups = self._grouped(self._train_batches(epoch_rng), s)
             for group, real_n in self._device_feed_multi(groups):
-                self.state, ls, ct = self._train_multi(self.state, group)
+                try:
+                    self.state, ls, ct = self._train_multi(self.state, group)
+                except ValueError as e:
+                    if not self._is_layout_mismatch(e):
+                        raise
+                    self._drop_layout_pins()
+                    self.state, ls, ct = self._train_multi(self.state, group)
                 sums.append((ls, ct))
                 prev, n_steps = n_steps, n_steps + real_n
                 maybe_save(self._steps_done + n_steps, self._steps_done + prev)
             self._steps_done += n_steps
         else:
             for batch in self._device_feed(self._train_batches(epoch_rng)):
-                out = self._train_step(self.state, batch)
+                try:
+                    out = self._train_step(self.state, batch)
+                except ValueError as e:
+                    if not self._is_layout_mismatch(e):
+                        raise
+                    self._drop_layout_pins()
+                    out = self._train_step(self.state, batch)
                 self.state = out.state
                 sums.append((out.loss_sum, out.count))
                 maybe_save(self._steps_done + len(sums),

@@ -306,3 +306,44 @@ def test_layout_pinned_state_matches_unpinned(tmp_path, monkeypatch):
     from ftrl_ffm_tpu.models import make_model
     fm = make_model(Config(model_type="FM", n_feats=50, n_factors=8))
     assert state_formats(fm.init()) is None
+
+
+def test_layout_pin_repair_on_stale_executable(tmp_path):
+    """If a (remote-compile-cache) executable ignores the requested layout
+    pins, the first layout-mismatch ValueError drops the pins and the run
+    completes correctly (observed hazard through the axon TPU relay)."""
+    rng = np.random.default_rng(1)
+    path = tmp_path / "t.ffm"
+    with open(path, "w") as f:
+        for _ in range(96):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 200))}:1" for c in range(16)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(
+        train_data=str(path), model_type="FFM", n_fields=16, n_feats=200,
+        n_factors=8, batch_size=32, n_epochs=1, online=True, eval_auc=False,
+    )
+    ref = Trainer(Config(**kw)).train()
+
+    t = Trainer(Config(**kw))
+    assert t._fmt is not None
+    real_step = t._train_step
+    calls = {"n": 0}
+
+    def flaky(state, batch):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError(
+                "Layout passed to jit does not match the layout on the "
+                "respective arg (simulated stale cached executable)"
+            )
+        return real_step(state, batch)
+
+    t._train_step = flaky
+    import pytest as _pytest
+
+    with _pytest.warns(UserWarning, match="layout pins"):
+        got = t.train()
+    assert t._fmt is None  # pins dropped, rebuilt jits
+    np.testing.assert_allclose(got["train_loss"], ref["train_loss"], rtol=1e-6)
