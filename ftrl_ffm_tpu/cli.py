@@ -183,7 +183,8 @@ def main(argv: list[str] | None = None) -> int:
         from ftrl_ffm_tpu.io.checkpoint import import_reference_model
 
         bias, lin_w, vec_w = import_reference_model(
-            args.import_reference_model, cfg.n_feats, cfg.row_width
+            # reference blobs store the LOGICAL row width (C*K, unpadded)
+            args.import_reference_model, cfg.n_feats, cfg.ref_row_width
         )
         trainer.state = trainer.model.init_from_weights(bias, lin_w, vec_w)
         if trainer._sharded is not None:

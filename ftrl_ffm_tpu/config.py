@@ -121,9 +121,41 @@ class Config:
         if self.lookup_mode not in ("auto", "replicate", "route"):
             raise ValueError(f"invalid lookup_mode: {self.lookup_mode}")
 
-    # Width of one feature row in the factor table.
+    # Padded field count for FFM factor rows.  The interaction math treats
+    # the model as having field_pad fields, of which fields
+    # [n_fields, field_pad) simply never occur: all their contributions are
+    # provably zero (no occurrence selects them), so results are identical
+    # to the unpadded model while every factor row becomes an exact
+    # multiple of the 128-lane TPU vector tile.  Aligned rows make XLA's
+    # natural entry layout row-major (no transpose copies, no layout pins)
+    # and give the gather/scatter exact-vreg rows.  Adopted only when the
+    # row overhead stays <= 15% (e.g. K=16, C=39 -> C'=40, +2.6%); the
+    # first dead lane additionally carries the linear-table gradient so a
+    # single scatter updates both tables (see ftrl.py::
+    # dense_ftrl_update2_aug).
+    @property
+    def field_pad(self) -> int:
+        if self.model_type != "FFM":
+            return self.n_fields
+        import math
+
+        c, k = self.n_fields, self.n_factors
+        step = 128 // math.gcd(k, 128)
+        cp = -(-c // step) * step
+        return cp if (cp - c) * 20 <= 3 * c else c
+
+    # Width of one feature row in the factor table (physical, padded).
     @property
     def row_width(self) -> int:
+        if self.model_type == "LR":
+            return 0
+        if self.model_type == "FM":
+            return self.n_factors
+        return self.field_pad * self.n_factors
+
+    # Width of one factor row in the reference's save format (logical).
+    @property
+    def ref_row_width(self) -> int:
         if self.model_type == "LR":
             return 0
         if self.model_type == "FM":

@@ -233,33 +233,38 @@ def dense_ftrl_update2_aug(
     lin_z: jax.Array,
     lin_w: jax.Array,
     ids: jax.Array,
-    gg2a: jax.Array,
+    gg2: jax.Array,
+    lane: int,
     p: FtrlParams,
 ):
     """One scatter updates the factor AND linear tables.
 
-    gg2a: [N, 2*A] augmented payload, A = D + 1: columns [:D] hold the
-    factor grad g_vec, column D the linear grad g_lin = gs * x, columns
-    [A:A+D] and [A+D] their squares (the FFM Pallas kernel emits this
-    layout directly, see ops/ffm_pallas.py).  The [R, 2A] accumulator rows
-    pad to the same lane count as [R, 2D] on TPU (1248 -> 1280 at E=624),
-    so folding the linear payload is free in HBM bytes and saves the
-    separate 319k-index linear scatter (measured 3.9 ms of a 38.5 ms step).
+    gg2: [N, 2*D] combined payload where lane `lane` of the factor grad
+    block (and of its squared block at D + lane) carries the LINEAR-table
+    gradient g_lin = gs * x instead of a factor grad.  `lane` is a dead
+    lane of the padded factor row (slot (k=0, c=n_fields), which no
+    occurrence ever selects — see Config.field_pad), so the payload is the
+    plain [N, 2*row_width] combined layout with zero extra columns: one
+    scatter feeds both tables' stats (the separate linear scatter measured
+    3.9 ms of a 38.5 ms step at B=8192).
+
+    The factor closed-form intentionally also updates the dead lane with
+    the linear stats: that lane is never read (inert in the interaction,
+    dropped on export), so masking it out would only cost an extra select.
 
     Returns ((vec_n, vec_z, vec_w), (lin_n, lin_z, lin_w))."""
-    a2 = gg2a.shape[-1]
-    a = a2 // 2
-    d = a - 1
-    acc = jnp.zeros((vec_n.shape[0], a2), gg2a.dtype).at[ids].add(
-        gg2a, mode="drop"
+    d2 = gg2.shape[-1]
+    d = d2 // 2
+    acc = jnp.zeros((vec_n.shape[0], d2), gg2.dtype).at[ids].add(
+        gg2, mode="drop"
     )
     w_f32 = vec_w.astype(vec_n.dtype)
     new_vn, new_vz = ftrl_accumulate(
-        vec_n, vec_z, w_f32, acc[:, :d], acc[:, a : a + d], p
+        vec_n, vec_z, w_f32, acc[:, :d], acc[:, d:], p
     )
     new_vw = jnp.where(new_vn > 0, ftrl_weights(new_vn, new_vz, p), w_f32)
     new_ln, new_lz = ftrl_accumulate(
-        lin_n, lin_z, lin_w, acc[:, d], acc[:, a + d], p
+        lin_n, lin_z, lin_w, acc[:, lane], acc[:, d + lane], p
     )
     new_lw = jnp.where(new_ln > 0, ftrl_weights(new_ln, new_lz, p), lin_w)
     return (

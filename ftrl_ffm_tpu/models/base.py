@@ -116,10 +116,13 @@ def state_formats(state: ModelState, device=None):
 
     XLA's entry-layout heuristic minimizes tile padding, which makes [R, E]
     tables COLUMN-major at the jit boundary whenever E is not a lane
-    multiple (E = 624 pads 2.6% row-major vs 0.1% column-major).  Every op
-    inside the step wants row-major, so the un-pinned step pays six
-    table-sized transpose copies per call (measured 4.6 ms of a 43 ms step
-    at R=100k, E=624 on v5e).  Pinning Format(Layout((0, 1))) on the donated
+    multiple (pre-padding E = 624 padded 2.6% row-major vs 0.1%
+    column-major; Config.field_pad now makes the flagship E = 640 exactly
+    aligned, where row-major is the natural choice — the pin then just
+    locks it in).  Every op inside the step wants row-major, so an
+    un-pinned mis-laid-out step pays six table-sized transpose copies per
+    call (measured 4.6 ms of a 43 ms step at R=100k on v5e).  Pinning
+    Format(Layout((0, 1))) on the donated
     state keeps gather -> kernel -> scatter -> closed-form in one layout end
     to end.  Narrow rows (FM's E=k) genuinely belong column-major — lane
     padding would blow the table up — so we only pin when the row pads
@@ -233,17 +236,20 @@ class Model:
         payload_dtype=None,
         aug: bool = False,
     ):
-        """(logits, payload) for one train step; payload is None (LR),
-        (gg2 [B*F, 2D],) with the factor gradient (already scaled by
+        """(logits, payload, aug_done) for one train step; payload is None
+        (LR), (gg2 [B*F, 2D],) with the factor gradient (already scaled by
         gs = (sigmoid(logit) - y) * sample_w) in lanes [:D] and its square
         in [D:] — the combined payload for the single FTRL scatter — or,
         when split=True (huge-table in-place update), separate
         (g [B*F, D], g2 [B*F, D]).  Subclasses may fuse this (the FFM
         Pallas kernel emits either layout directly).  payload_dtype narrows
-        the emitted payload (Config.acc_dtype)."""
+        the emitted payload (Config.acc_dtype).  aug_done=True means the
+        linear-table gradient rides in the payload's dead lane
+        (ftrl.py::dense_ftrl_update2_aug) — this base implementation never
+        does that."""
         logits, dlogit_dv = self._logits_and_grads(state, batch, train=True)
         if dlogit_dv is None:
-            return logits, None
+            return logits, None, False
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
         g_vec = gs[:, None, None] * dlogit_dv.reshape(
             dlogit_dv.shape[0], dlogit_dv.shape[1], -1
@@ -254,8 +260,8 @@ class Model:
             g_vec = g_vec.astype(payload_dtype)
             g2_vec = g2_vec.astype(payload_dtype)
         if split:
-            return logits, (g_vec, g2_vec)
-        return logits, (jnp.concatenate([g_vec, g2_vec], axis=-1),)
+            return logits, (g_vec, g2_vec), False
+        return logits, (jnp.concatenate([g_vec, g2_vec], axis=-1),), False
 
     def _emits_combined(self) -> bool:
         """True when the grad producer can emit the combined (g || g^2)
@@ -266,8 +272,10 @@ class Model:
 
     def _emits_aug_combined(self) -> bool:
         """True when the grad producer can additionally fold the linear
-        gradient into the combined payload (ftrl.py::dense_ftrl_update2_aug
-        — one scatter updates both tables)."""
+        gradient into the combined payload's dead lane
+        (ftrl.py::dense_ftrl_update2_aug — one scatter updates both
+        tables).  Requires a padded factor row (Config.field_pad >
+        n_fields) so a dead lane exists."""
         return False
 
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
@@ -293,9 +301,12 @@ class Model:
             else None
         )
         want_aug = (
-            vec_kind == "dense2" and not split and self._emits_aug_combined()
+            vec_kind == "dense2"
+            and not split
+            and self.cfg.field_pad > self.cfg.n_fields
+            and self._emits_aug_combined()
         )
-        logits, payload = self._train_grads(
+        logits, payload, is_aug = self._train_grads(
             state, batch, split=split, payload_dtype=payload_dtype,
             aug=want_aug,
         )
@@ -304,18 +315,12 @@ class Model:
         ids = batch.feats.reshape(-1)
         bias_n, bias_z = bias_update(state.bias_n, state.bias_z, gs, p)
 
-        # the producer confirms the augmented layout by its payload width
-        is_aug = (
-            payload is not None
-            and len(payload) == 1
-            and payload[0].shape[-1] == 2 * (self.row_width + 1)
-        )
         if is_aug:
             (vec_n, vec_z, vec_w), (lin_n, lin_z, lin_w) = (
                 dense_ftrl_update2_aug(
                     state.vec_n, state.vec_z, state.vec_w,
                     state.lin_n, state.lin_z, state.lin_w,
-                    ids, payload[0], p,
+                    ids, payload[0], self.cfg.n_fields, p,
                 )
             )
             count = jnp.sum(batch.sample_w)

@@ -24,16 +24,23 @@ class FFM(Model):
         super().__init__(cfg)
         self.n_fields = cfg.n_fields
         self.n_factors = cfg.n_factors
+        # the interaction math runs over field_pad >= n_fields fields; the
+        # extra fields never occur, so their slots are inert (Config.field_pad)
+        self.field_pad = cfg.field_pad
 
     def _export_vec_layout(self, vec_w):
         from ftrl_ffm_tpu.ops.layout import kmajor_to_reference
 
-        return kmajor_to_reference(vec_w, self.n_fields, self.n_factors)
+        return kmajor_to_reference(
+            vec_w, self.n_fields, self.n_factors, self.field_pad
+        )
 
     def _import_vec_layout(self, vec_w):
         from ftrl_ffm_tpu.ops.layout import reference_to_kmajor
 
-        return reference_to_kmajor(vec_w, self.n_fields, self.n_factors)
+        return reference_to_kmajor(
+            vec_w, self.n_fields, self.n_factors, self.field_pad
+        )
 
     def _use_pallas(self) -> bool:
         mode = self.cfg.use_pallas
@@ -71,6 +78,7 @@ class FFM(Model):
         lin = linear_logits(w, batch.vals, self.bias_weight(state))
         # flat [B*F, E] gather: single 2-D row-major stream into the kernel
         v = self._gather_vec(state, batch.feats.reshape(-1))
+        do_aug = aug and not split and self.field_pad > self.n_fields
         logits, *payload = ffm_fused_logits_grads(
             v,
             batch.fields,
@@ -78,14 +86,16 @@ class FFM(Model):
             lin,
             batch.y,
             batch.sample_w,
-            self.n_fields,
+            self.field_pad,
             self.n_factors,
             compute_grads=True,
             combined_out=not split,
             out_dtype=payload_dtype or jnp.float32,
-            aug_lin=aug and not split,
+            # linear grad rides in dead lane (k=0, c=n_fields) of the
+            # padded factor row (see Config.field_pad)
+            aug_lane=self.n_fields if do_aug else -1,
         )
-        return logits, tuple(payload)
+        return logits, tuple(payload), do_aug
 
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         w = self._gather_linear(state, batch.feats)
@@ -96,16 +106,16 @@ class FFM(Model):
 
             v = self._gather_vec(state, batch.feats.reshape(-1))
             logits = ffm_fused_logits(
-                v, batch.fields, batch.vals, lin, self.n_fields, self.n_factors
+                v, batch.fields, batch.vals, lin, self.field_pad, self.n_factors
             )
             return logits, None
-        v = self._gather_vec(state, batch.feats)  # [B, F, C*K]
+        v = self._gather_vec(state, batch.feats)  # [B, F, C'*K]
         logits, dlogit_dv = ffm_logits_and_grads(
             v,
             batch.fields,
             batch.vals,
             lin,
-            self.n_fields,
+            self.field_pad,
             self.n_factors,
             compute_grads=train,
         )

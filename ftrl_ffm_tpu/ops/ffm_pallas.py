@@ -51,6 +51,7 @@ def _ffm_fused_kernel(
     n_fields: int,
     n_factors: int,
     compute_grads: bool,
+    aug_lane: int,
 ):
     c, k = n_fields, n_factors
     tb, f = fields_ref.shape
@@ -103,22 +104,18 @@ def _ffm_fused_kernel(
             preferred_element_type=jnp.float32,
         )                                                # [TB, F, E]
         g = gx[:, :, None] * (t - oh_e * xv)
+        if aug_lane >= 0:
+            # the linear-table gradient g_lin = gs * x rides in dead lane
+            # `aug_lane` of the padded factor row (slot (0, n_fields), which
+            # no occurrence selects — its factor grad is always zero), so
+            # ONE plain [TB*F, 2E] payload feeds the factor AND linear
+            # scatter stats with zero extra columns (kills the separate
+            # 319k-index linear scatter, measured 3.9 ms at B=8192)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tb, f, e), 2)
+            g = jnp.where(lane == aug_lane, gx[:, :, None], g)
         # grads are computed f32 in VMEM; the store casts to the payload
         # dtype (Config.acc_dtype: bf16 halves the dominant HBM passes)
-        if len(out_refs) == 1 and out_refs[0].shape[-1] == 2 * (e + 1):
-            # augmented payload [TB*F, 2(E+1)]: the linear-table gradient
-            # g_lin = gs * x rides as column E (and its square as the last
-            # column), so ONE scatter updates the factor AND linear tables —
-            # the row pads 2E=1248 -> 1280 lanes either way, so the two
-            # extra columns are free in HBM bytes and kill the separate
-            # 319k-index linear scatter (measured 3.9 ms at B=8192)
-            a = e + 1
-            g_aug = jnp.concatenate([g, gx[:, :, None]], axis=2)
-            g_aug = g_aug.reshape(tb * f, a)
-            dt = out_refs[0].dtype
-            out_refs[0][:, :a] = g_aug.astype(dt)
-            out_refs[0][:, a:] = (g_aug * g_aug).astype(dt)
-        elif len(out_refs) == 1:
+        if len(out_refs) == 1:
             g = g.reshape(tb * f, e)
             dt = out_refs[0].dtype
             out_refs[0][:, :e] = g.astype(dt)
@@ -136,7 +133,7 @@ def _ffm_fused_kernel(
     jax.jit,
     static_argnames=(
         "n_fields", "n_factors", "compute_grads", "block_b", "interpret",
-        "combined_out", "out_dtype", "aug_lin",
+        "combined_out", "out_dtype", "aug_lane",
     ),
 )
 def ffm_fused_logits_grads(
@@ -153,14 +150,16 @@ def ffm_fused_logits_grads(
     interpret: bool = False,
     combined_out: bool = True,
     out_dtype=jnp.float32,
-    aug_lin: bool = False,
+    aug_lane: int = -1,
 ):
     """Fused FFM logits + per-occurrence grads.
 
     combined_out=True returns (logits [B], gg2 [B*F, 2E]) where gg2[:, :E]
     is the factor grad already scaled by gs = (sigmoid(logit) - y) *
     sample_w and gg2[:, E:] is its elementwise square — the combined payload
-    for the single FTRL scatter (ftrl.py::dense_ftrl_update2).
+    for the single FTRL scatter (ftrl.py::dense_ftrl_update2).  aug_lane >= 0
+    additionally writes the linear-table gradient gs * x into that (dead)
+    lane of the factor block, feeding ftrl.py::dense_ftrl_update2_aug.
     combined_out=False returns (logits, g, g2) as separate [B*F, E] tensors
     for the huge-table in-place update (ftrl.py::dense_ftrl_update_inplace),
     whose two scatters target different destinations.  Emitting g^2 from
@@ -185,6 +184,7 @@ def ffm_fused_logits_grads(
         n_fields=n_fields,
         n_factors=n_factors,
         compute_grads=compute_grads,
+        aug_lane=aug_lane if combined_out else -1,
     )
     row_spec = pl.BlockSpec((block_b, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     # per-sample scalars ride as [B, 1] — rank-1 VMEM blocks must be
@@ -194,11 +194,10 @@ def ffm_fused_logits_grads(
         (block_b * f, e), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     if combined_out:
-        w2 = 2 * (e + 1) if aug_lin else 2 * e
         out_specs = [pl.BlockSpec(
-            (block_b * f, w2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_b * f, 2 * e), lambda i: (i, 0), memory_space=pltpu.VMEM
         )]
-        out_shape = [jax.ShapeDtypeStruct((b * f, w2), out_dtype)]
+        out_shape = [jax.ShapeDtypeStruct((b * f, 2 * e), out_dtype)]
     else:
         out_specs = [v_spec, v_spec]
         out_shape = [

@@ -82,7 +82,8 @@ def ffm_logits_and_grads(
                                      - [c == field_m] * x_m * v[b,m,c,k] )
 
     TPU layout strategy: every big tensor keeps the fused row width E = C*K
-    as its minor dimension (E is lane-aligned-ish at 624 for C=39, K=16; a
+    as its minor dimension (E is exactly lane-aligned at 640 for C'=40,
+    K=16 under Config.field_pad row padding; a
     bare K=16 minor would waste 7/8 of each 128-lane vector tile).  The
     one-hot selections over the field axis are expressed as MXU contractions
     and *elementwise* one-hot masks — no take_along_axis / generic gathers,

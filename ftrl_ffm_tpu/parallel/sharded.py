@@ -288,13 +288,13 @@ class ShardedStep:
 
                 return ffm_fused_logits_grads(
                     v, batch.fields, batch.vals, lin, batch.y, batch.sample_w,
-                    cfg.n_fields, cfg.n_factors, compute_grads=True,
+                    cfg.field_pad, cfg.n_factors, compute_grads=True,
                     combined_out=True,
                 )
             from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
 
             logits = ffm_fused_logits(
-                v, batch.fields, batch.vals, lin, cfg.n_fields, cfg.n_factors
+                v, batch.fields, batch.vals, lin, cfg.field_pad, cfg.n_factors
             )
             return logits, None
         v3 = v.reshape(b_local, -1, v.shape[-1])
@@ -303,7 +303,7 @@ class ShardedStep:
         else:
             logits, dv = ffm_logits_and_grads(
                 v3, batch.fields, batch.vals, lin,
-                cfg.n_fields, cfg.n_factors, compute_grads=train,
+                cfg.field_pad, cfg.n_factors, compute_grads=train,
             )
         if not train or dv is None:
             return logits, None

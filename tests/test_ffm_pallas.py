@@ -134,15 +134,17 @@ def test_dense_update2_bf16_payload_close_to_f32():
         )
 
 
-def test_fused_kernel_aug_lin_payload():
-    """aug_lin=True: columns [:E]/[A:A+E] match the non-augmented payload;
-    column E carries g_lin = gs * x (+ its square in the last column)."""
+def test_fused_kernel_aug_lane_payload():
+    """aug_lane: dead lane (k=0, c=n_real_fields) of the combined payload
+    carries g_lin = gs * x (+ its square at D + lane); every other lane
+    matches the non-augmented payload bit-for-bit (a dead lane's factor
+    grad is always zero, so the lane select changes nothing else)."""
     rng = np.random.default_rng(5)
-    b, f, c, k = 16, 5, 4, 8
+    b, f, c_real, k = 16, 5, 4, 8
+    c = c_real + 1  # padded field count: field 4 never occurs
     e = c * k
-    a = e + 1
     v = jnp.asarray(rng.normal(size=(b, f, e)).astype(np.float32) * 0.1)
-    fields = jnp.asarray(rng.integers(0, c, (b, f)).astype(np.int32))
+    fields = jnp.asarray(rng.integers(0, c_real, (b, f)).astype(np.int32))
     vals = jnp.asarray(rng.random((b, f)).astype(np.float32))
     lin = jnp.asarray(rng.normal(size=(b,)).astype(np.float32) * 0.1)
     y = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
@@ -154,35 +156,40 @@ def test_fused_kernel_aug_lin_payload():
     )
     logits1, gg2a = ffm_fused_logits_grads(
         v.reshape(b * f, e), fields, vals, lin, y, sw, c, k,
-        aug_lin=True, **common
+        aug_lane=c_real, **common
     )
-    assert gg2a.shape == (b * f, 2 * a)
+    assert gg2a.shape == gg2.shape == (b * f, 2 * e)
     np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits0), rtol=1e-6)
+    keep = np.ones(2 * e, bool)
+    keep[[c_real, e + c_real]] = False
     np.testing.assert_allclose(
-        np.asarray(gg2a[:, :e]), np.asarray(gg2[:, :e]), rtol=1e-6
+        # the added lane-select shifts fusion order by ~1 ulp elsewhere
+        np.asarray(gg2a)[:, keep], np.asarray(gg2)[:, keep],
+        rtol=1e-5, atol=1e-8,
     )
-    np.testing.assert_allclose(
-        # squared terms differ by one ulp depending on fusion order
-        np.asarray(gg2a[:, a : a + e]), np.asarray(gg2[:, e:]), rtol=2e-4,
-        atol=1e-10,
-    )
+    # the dead lane held zeros without aug...
+    np.testing.assert_array_equal(np.asarray(gg2)[:, c_real], 0.0)
+    # ...and carries the linear grad + square with aug
     gs = (jax.nn.sigmoid(np.asarray(logits0)) - np.asarray(y)) * np.asarray(sw)
     g_lin = (gs[:, None] * np.asarray(vals)).reshape(-1)
-    np.testing.assert_allclose(np.asarray(gg2a[:, e]), g_lin, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(
-        np.asarray(gg2a[:, -1]), g_lin * g_lin, rtol=1e-5, atol=1e-9
+        np.asarray(gg2a[:, c_real]), g_lin, rtol=1e-5, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(gg2a[:, e + c_real]), g_lin * g_lin, rtol=1e-5, atol=1e-9
     )
 
 
 def test_dense_update2_aug_matches_separate_updates():
-    """One augmented scatter == the separate vec + lin dense updates."""
+    """One dead-lane augmented scatter == the separate vec + lin dense
+    updates (on every lane except the dead one, which shadows the linear
+    stats and is never read)."""
     from ftrl_ffm_tpu.ftrl import (
         FtrlParams, dense_ftrl_update2, dense_ftrl_update2_aug,
     )
 
     rng = np.random.default_rng(6)
-    r, d, n = 40, 8, 96
-    a = d + 1
+    r, d, n, lane = 40, 8, 96, 5
     p = FtrlParams()
     vec_n = jnp.asarray(rng.random((r, d)).astype(np.float32))
     vec_z = jnp.asarray(rng.normal(size=(r, d)).astype(np.float32))
@@ -192,19 +199,26 @@ def test_dense_update2_aug_matches_separate_updates():
     lin_w = jnp.asarray(rng.normal(size=(r,)).astype(np.float32) * 0.01)
     ids = jnp.asarray(rng.integers(0, r + 1, (n,)).astype(np.int32))
     g = rng.normal(size=(n, d)).astype(np.float32) * 0.1
+    g[:, lane] = 0.0  # the dead lane never carries a factor grad
     gl = rng.normal(size=(n,)).astype(np.float32) * 0.1
 
     gg2_vec = jnp.asarray(np.concatenate([g, g * g], axis=-1))
     gg2_lin = jnp.asarray(np.stack([gl, gl * gl], axis=-1))
-    ga = np.concatenate([g, gl[:, None]], axis=-1)
+    ga = g.copy()
+    ga[:, lane] = gl  # linear grad rides in the dead lane
     gg2a = jnp.asarray(np.concatenate([ga, ga * ga], axis=-1))
 
     vec_ref = dense_ftrl_update2(vec_n, vec_z, vec_w, ids, gg2_vec, p)
     lin_ref = dense_ftrl_update2(lin_n, lin_z, lin_w, ids, gg2_lin, p)
     (vn, vz, vw), (ln, lz, lw) = dense_ftrl_update2_aug(
-        vec_n, vec_z, vec_w, lin_n, lin_z, lin_w, ids, gg2a, p
+        vec_n, vec_z, vec_w, lin_n, lin_z, lin_w, ids, gg2a, lane, p
     )
-    for got, want in zip((vn, vz, vw, ln, lz, lw), (*vec_ref, *lin_ref)):
+    cols = [c for c in range(d) if c != lane]
+    for got, want in zip((vn, vz, vw), vec_ref):
+        np.testing.assert_allclose(
+            np.asarray(got)[:, cols], np.asarray(want)[:, cols], rtol=1e-6
+        )
+    for got, want in zip((ln, lz, lw), lin_ref):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
