@@ -186,7 +186,18 @@ class Model:
                     self.cfg.init_mean
                     + self.cfg.init_stddev
                     * jax.random.normal(key, (r, self.row_width), jnp.float32)
-                ).astype(w_dtype)
+                )
+                cp, c = self.cfg.field_pad, self.cfg.n_fields
+                if cp > c:
+                    # dead lanes (slots (k, c') with c' >= n_fields under
+                    # field_pad row padding) start at zero: they are inert
+                    # in the interaction either way, but lane (0, n_fields)
+                    # mirrors the linear table (init 0) through the
+                    # dead-lane aug update, and zeroed padding keeps
+                    # exported/checkpointed states clean
+                    lane_field = jnp.arange(self.row_width) % cp
+                    vec_w = jnp.where(lane_field < c, vec_w, 0.0)
+                vec_w = vec_w.astype(w_dtype)
         else:
             vec_n = vec_z = vec_w = None
         return ModelState(

@@ -74,11 +74,16 @@ class FFM(Model):
             return super()._train_grads(state, batch, split, payload_dtype)
         from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
 
-        w = self._gather_linear(state, batch.feats)
-        lin = linear_logits(w, batch.vals, self.bias_weight(state))
+        lane = self._lin_lane()
+        if lane >= 0:
+            # linear weights mirrored in the dead lane: no linear gather
+            lin = jnp.broadcast_to(self.bias_weight(state), batch.y.shape)
+        else:
+            w = self._gather_linear(state, batch.feats)
+            lin = linear_logits(w, batch.vals, self.bias_weight(state))
         # flat [B*F, E] gather: single 2-D row-major stream into the kernel
         v = self._gather_vec(state, batch.feats.reshape(-1))
-        do_aug = aug and not split and self.field_pad > self.n_fields
+        do_aug = aug and not split and lane >= 0
         logits, *payload = ffm_fused_logits_grads(
             v,
             batch.fields,
@@ -92,21 +97,38 @@ class FFM(Model):
             combined_out=not split,
             out_dtype=payload_dtype or jnp.float32,
             # linear grad rides in dead lane (k=0, c=n_fields) of the
-            # padded factor row (see Config.field_pad)
-            aug_lane=self.n_fields if do_aug else -1,
+            # padded factor row (see Config.field_pad); the fold applies on
+            # split payloads too so every update path maintains the mirror
+            aug_lane=lane,
+            lin_lane=lane,
         )
         return logits, tuple(payload), do_aug
 
+    def _lin_lane(self) -> int:
+        """Dead lane (k=0, c=n_fields) that mirrors the linear table when
+        the factor row is padded (Config.field_pad).  Every FFM update
+        path feeds this lane the linear gradient, so the mirror holds at
+        every step boundary and the forward pass reads the linear weight
+        from the rows it already gathers — the separate [B, F] linear
+        gather (same descriptor count as the big row gather) disappears
+        from train AND serving."""
+        return self.n_fields if self.field_pad > self.n_fields else -1
+
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
-        w = self._gather_linear(state, batch.feats)
-        lin = linear_logits(w, batch.vals, self.bias_weight(state))
+        lane = self._lin_lane()
+        if lane >= 0:
+            lin = jnp.broadcast_to(self.bias_weight(state), batch.y.shape)
+        else:
+            w = self._gather_linear(state, batch.feats)
+            lin = linear_logits(w, batch.vals, self.bias_weight(state))
         if not train and self._use_pallas() and batch.feats.shape[0] % 8 == 0:
             # inference-only fused kernel: the serving/eval hot path
             from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
 
             v = self._gather_vec(state, batch.feats.reshape(-1))
             logits = ffm_fused_logits(
-                v, batch.fields, batch.vals, lin, self.field_pad, self.n_factors
+                v, batch.fields, batch.vals, lin, self.field_pad,
+                self.n_factors, lin_lane=lane,
             )
             return logits, None
         v = self._gather_vec(state, batch.feats)  # [B, F, C'*K]
@@ -118,5 +140,22 @@ class FFM(Model):
             self.field_pad,
             self.n_factors,
             compute_grads=train,
+            lin_lane=lane,
         )
         return logits, dlogit_dv
+
+    def init_from_weights(self, bias, lin_w, vec_w=None) -> ModelState:
+        """Restore the dead-lane linear mirror on warm starts: reference
+        blobs know nothing about the padded layout, so after the base
+        import the linear weight/z are copied into lane (0, n_fields) of
+        the factor tables (see _lin_lane)."""
+        state = super().init_from_weights(bias, lin_w, vec_w)
+        lane = self._lin_lane()
+        if lane < 0 or state.vec_w is None:
+            return state
+        vw = state.vec_w.at[:, lane].set(
+            state.lin_w.astype(state.vec_w.dtype)
+        )
+        vz = state.vec_z.at[:, lane].set(state.lin_z)
+        vn = state.vec_n.at[:, lane].set(state.lin_n)
+        return state._replace(vec_w=vw, vec_z=vz, vec_n=vn)

@@ -265,6 +265,19 @@ class ShardedStep:
         return new_n, new_z, new_w.astype(w_tab.dtype)
 
     # ---- shared logits plumbing ----
+    @property
+    def _lin_lane(self) -> int:
+        """Dead lane of the padded FFM factor row that mirrors the linear
+        table (see models/ffm.py::FFM._lin_lane).  In the sharded step the
+        mirror removes the entire routed/replicated LINEAR lookup: the
+        gathered factor rows already carry the linear weight in this lane,
+        and the payload fold keeps the mirror true under the same psum /
+        all_to_all aggregation as the canonical linear tables."""
+        cfg = self.cfg
+        if cfg.model_type == "FFM" and cfg.field_pad > cfg.n_fields:
+            return cfg.n_fields
+        return -1
+
     def _use_pallas(self, b_local: int) -> bool:
         cfg = self.cfg
         return cfg.model_type == "FFM" and b_local % 8 == 0 and (
@@ -290,6 +303,9 @@ class ShardedStep:
                     v, batch.fields, batch.vals, lin, batch.y, batch.sample_w,
                     cfg.field_pad, cfg.n_factors, compute_grads=True,
                     combined_out=True,
+                    # payload fold maintains the dead-lane linear mirror
+                    # (lin itself arrives precomputed, so lin_lane stays off)
+                    aug_lane=self._lin_lane,
                 )
             from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
 
@@ -309,6 +325,11 @@ class ShardedStep:
             return logits, None
         gs = (jax.nn.sigmoid(logits) - batch.y) * batch.sample_w
         g = (gs[:, None, None] * dv).reshape(dv.shape[0] * dv.shape[1], -1)
+        lane = self._lin_lane
+        if lane >= 0 and cfg.model_type == "FFM":
+            # maintain the dead-lane linear mirror on the XLA path too
+            g_lin = (gs[:, None] * batch.vals).reshape(-1)
+            g = jnp.where(jnp.arange(g.shape[-1]) == lane, g_lin[:, None], g)
         return logits, jnp.concatenate([g, g * g], axis=-1)
 
     # ---- replicate-mode dense table update ----
@@ -370,20 +391,32 @@ class ShardedStep:
                 lambda o: None,
                 rt.overflow,
             )
-            w_lin = self._routed_rows(state.lin_w, rt).reshape(batch.feats.shape)
             v = (
                 self._routed_rows(state.vec_w, rt)
                 if state.vec_w is not None
                 else None
             )
-        else:
-            w_lin = self._lookup_linear(
-                state.lin_w, ids_phys.reshape(batch.feats.shape)
+            w_lin = (
+                v[:, self._lin_lane].reshape(batch.feats.shape)
+                if self._lin_lane >= 0 and v is not None
+                # the mirrored lane makes this second routed lookup
+                # (its own all_to_all pair) unnecessary for padded FFM
+                else self._routed_rows(state.lin_w, rt).reshape(
+                    batch.feats.shape
+                )
             )
+        else:
             v = (
                 self._lookup_vec(state.vec_w, ids_phys)
                 if state.vec_w is not None
                 else None
+            )
+            w_lin = (
+                v[:, self._lin_lane].reshape(batch.feats.shape)
+                if self._lin_lane >= 0 and v is not None
+                else self._lookup_linear(
+                    state.lin_w, ids_phys.reshape(batch.feats.shape)
+                )
             )
 
         lin = linear_logits(w_lin, batch.vals, bias_w)
@@ -442,20 +475,30 @@ class ShardedStep:
         bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
         if self.mode == "route":
             rt = self._route(ids_phys)
-            w_lin = self._routed_rows(state.lin_w, rt).reshape(batch.feats.shape)
             v = (
                 self._routed_rows(state.vec_w, rt)
                 if state.vec_w is not None
                 else None
             )
-        else:
-            w_lin = self._lookup_linear(
-                state.lin_w, ids_phys.reshape(batch.feats.shape)
+            w_lin = (
+                v[:, self._lin_lane].reshape(batch.feats.shape)
+                if self._lin_lane >= 0 and v is not None
+                else self._routed_rows(state.lin_w, rt).reshape(
+                    batch.feats.shape
+                )
             )
+        else:
             v = (
                 self._lookup_vec(state.vec_w, ids_phys)
                 if state.vec_w is not None
                 else None
+            )
+            w_lin = (
+                v[:, self._lin_lane].reshape(batch.feats.shape)
+                if self._lin_lane >= 0 and v is not None
+                else self._lookup_linear(
+                    state.lin_w, ids_phys.reshape(batch.feats.shape)
+                )
             )
         lin = linear_logits(w_lin, batch.vals, bias_w)
         logits, _ = self._model_logits_gg2(batch, lin, v, train=False)

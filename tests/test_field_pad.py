@@ -138,3 +138,153 @@ def test_export_import_roundtrip_with_padding(tmp_path):
     bias2, lin_w2, vec_w2 = m.materialize_weights(st2)
     np.testing.assert_allclose(np.asarray(vec_w2), np.asarray(vec_w), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(lin_w2), np.asarray(lin_w), rtol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+@pytest.mark.parametrize("lookup_mode", ["replicate", "route"])
+def test_sharded_padded_matches_single_device(mesh_shape, lookup_mode):
+    """Padded FFM (C=39, K=16 -> E=640, linear mirrored in the dead lane):
+    the sharded step — which reads the linear weight from the gathered
+    rows instead of a second routed lookup — matches the single-device
+    step on losses, logits and both tables."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.models import Batch, make_model
+    from ftrl_ffm_tpu.parallel import (
+        ShardedStep, make_mesh, shard_state, unshard_state,
+    )
+
+    cfg = Config(
+        model_type="FFM", n_feats=96, n_fields=39, n_factors=16,
+        batch_size=16, max_nnz=6, lookup_mode=lookup_mode,
+    )
+    assert cfg.field_pad == 40
+    model = make_model(cfg)
+    rng = np.random.default_rng(2)
+    b, f = cfg.batch_size, cfg.max_nnz
+    fields = rng.integers(0, 39, (b, f)).astype(np.int32)
+    feats = rng.integers(0, cfg.n_feats, (b, f)).astype(np.int32)
+    vals = rng.random((b, f)).astype(np.float32)
+    y = (rng.random(b) > 0.5).astype(np.float32)
+    sample_w = np.ones(b, np.float32)
+    feats[:, -1] = cfg.n_feats
+    vals[:, -1] = 0.0
+    arrays = (fields, feats, vals, y, sample_w)
+    batch = Batch(*(jnp.asarray(a) for a in arrays))
+
+    out1 = model.train_step(model.init(), batch)
+    out2 = model.train_step(out1.state, batch)
+
+    mesh = make_mesh(*mesh_shape)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    sbatch = step.place_batch(arrays)
+    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
+    )
+    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+    np.testing.assert_allclose(
+        float(loss_sum), float(out2.loss_sum), rtol=1e-5
+    )
+    lstate = unshard_state(sstate, mesh.shape["model"], cfg.n_feats)
+    np.testing.assert_allclose(
+        np.asarray(lstate.lin_z), np.asarray(out2.state.lin_z),
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lstate.vec_z), np.asarray(out2.state.vec_z),
+        rtol=1e-4, atol=1e-6,
+    )
+    # the mirror invariant holds on the unsharded state too
+    np.testing.assert_allclose(
+        np.asarray(lstate.vec_z[:, 39]), np.asarray(lstate.lin_z),
+        rtol=1e-5, atol=1e-7,
+    )
+
+
+def test_linear_mirror_invariant_all_paths(monkeypatch):
+    """vec lane (0, n_fields) mirrors the linear table after training
+    through (a) the XLA fallback, (b) the Pallas aug path (interpret),
+    (c) the forced in-place huge-table path."""
+    import functools
+
+    import jax.numpy as jnp
+
+    import ftrl_ffm_tpu.models.base as base_mod
+    from ftrl_ffm_tpu.models import Batch, make_model
+
+    rng = np.random.default_rng(3)
+    b, c, k, r, f = 16, 39, 16, 64, 5
+
+    def run(use_pallas, update_mode="auto", interpret=False):
+        if interpret:
+            import ftrl_ffm_tpu.ops.ffm_pallas as fp
+
+            for fn_name in ("ffm_fused_logits_grads", "ffm_fused_logits"):
+                orig = getattr(fp, fn_name)
+                monkeypatch.setattr(
+                    fp, fn_name, functools.partial(orig, interpret=True)
+                )
+        cfg = Config(
+            model_type="FFM", n_fields=c, n_feats=r, n_factors=k,
+            batch_size=b, max_nnz=f, use_pallas=use_pallas,
+            update_mode=update_mode,
+        )
+        m = make_model(cfg)
+        st = m.init()
+        rng2 = np.random.default_rng(4)
+        for _ in range(3):
+            batch = Batch(
+                fields=jnp.asarray(rng2.integers(0, c, (b, f)).astype(np.int32)),
+                feats=jnp.asarray(rng2.integers(0, r, (b, f)).astype(np.int32)),
+                vals=jnp.asarray(rng2.random((b, f)).astype(np.float32)),
+                y=jnp.asarray((rng2.random(b) > 0.5).astype(np.float32)),
+                sample_w=jnp.asarray(np.ones(b, np.float32)),
+            )
+            st = m.train_step(st, batch).state
+        monkeypatch.undo()
+        return st
+
+    for name, st in (
+        ("xla", run("off")),
+        ("pallas-aug", run("on", interpret=True)),
+        ("xla-inplace", None),
+    ):
+        if name == "xla-inplace":
+            orig = base_mod.select_update_kind
+            monkeypatch.setattr(
+                base_mod, "select_update_kind",
+                lambda rr, d, nn, mode: "inplace" if d else orig(rr, d, nn, mode),
+            )
+            st = run("off")
+            monkeypatch.undo()
+        np.testing.assert_allclose(
+            np.asarray(st.vec_z[:, 39]), np.asarray(st.lin_z),
+            rtol=1e-5, atol=1e-7, err_msg=f"z mirror broken ({name})",
+        )
+        np.testing.assert_allclose(
+            np.asarray(st.vec_w[:, 39]), np.asarray(st.lin_w),
+            rtol=1e-5, atol=1e-8, err_msg=f"w mirror broken ({name})",
+        )
+        assert np.abs(np.asarray(st.lin_z)).max() > 0  # training happened
+
+
+def test_import_reference_restores_mirror():
+    """Warm starts write the imported linear weights into the dead lane so
+    the mirrored forward sees them."""
+    from ftrl_ffm_tpu.models import make_model
+
+    cfg = Config(
+        model_type="FFM", n_fields=39, n_feats=32, n_factors=16,
+        factor_semantics="reference",
+    )
+    m = make_model(cfg)
+    rng = np.random.default_rng(5)
+    lin_w = rng.normal(size=(32,)).astype(np.float32) * 0.1
+    vec_w = rng.normal(size=(32, 624)).astype(np.float32) * 0.1
+    st = m.init_from_weights(np.float32(0.3), lin_w, vec_w)
+    np.testing.assert_allclose(np.asarray(st.vec_w[:, 39]), lin_w, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.vec_z[:, 39]), np.asarray(st.lin_z), rtol=1e-6
+    )
