@@ -676,10 +676,22 @@ class Trainer:
         if self._spc > 1:
             groups = self._grouped(self._eval_batches(), self._spc)
             for group, _ in self._device_feed_multi(groups):
-                results.append(self._eval_multi(self.state, group))
+                try:
+                    results.append(self._eval_multi(self.state, group))
+                except ValueError as e:
+                    if not self._is_layout_mismatch(e):
+                        raise
+                    self._drop_layout_pins()
+                    results.append(self._eval_multi(self.state, group))
         else:
             for batch in self._device_feed(self._eval_batches()):
-                results.append(self._eval_step(self.state, batch))
+                try:
+                    results.append(self._eval_step(self.state, batch))
+                except ValueError as e:
+                    if not self._is_layout_mismatch(e):
+                        raise
+                    self._drop_layout_pins()
+                    results.append(self._eval_step(self.state, batch))
         if not results:
             return float("nan"), float("nan")
         loss_sum = jnp.sum(jnp.stack([r[0] for r in results]))
