@@ -1,8 +1,13 @@
 """Field-aware factorization machine with FTRL (reference: src/model/ffm.cpp).
 
-Factor table layout matches the reference: each feature row holds
-n_fields * n_factors weights, slot (field, k) = field * n_factors + k
-(reference: src/model/ffm.cpp:17-28, :63-65).  The pairwise m<n loop becomes a
+The reference stores each feature row as n_fields * n_factors weights, slot
+(field, k) = field * n_factors + k (src/model/ffm.cpp:17-28, :63-65).
+Internally rows are **factor-major and lane-padded**: slot (k, c) =
+k * field_pad + c with field_pad >= n_fields (Config.field_pad; ops/layout.py
+converts at import/export).  Dead lane (0, n_fields) mirrors the LINEAR
+table — every update path feeds it the linear gradient, so the forward pass
+reads w_lin from the factor rows it already gathers and the separate linear
+gather disappears (see _lin_lane).  The pairwise m<n loop becomes a
 field-bucketed contraction (see ops/interactions.py::ffm_logits_and_grads).
 
 Note: the reference's v_sif2 update uses `v_gif2 * v_gif1` where the FTRL
