@@ -80,14 +80,20 @@ class FFM(Model):
         from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits_grads
 
         lane = self._lin_lane()
+        # flat [B*F, E] gather: single 2-D row-major stream into the kernel
+        v = self._gather_vec(state, batch.feats.reshape(-1))
         if lane >= 0:
-            # linear weights mirrored in the dead lane: no linear gather
-            lin = jnp.broadcast_to(self.bias_weight(state), batch.y.shape)
+            # linear weights mirrored in the dead lane: read them from the
+            # rows just gathered — no separate linear gather.  Computed
+            # OUTSIDE the kernel: an extra reduction inside the Mosaic body
+            # re-triggered the (runtime-flaky) gather -> custom-call device
+            # deadlock; the XLA column slice + reduce is cheap and keeps
+            # the kernel byte-identical to the proven one.
+            w = v[:, lane].reshape(batch.feats.shape)
+            lin = linear_logits(w, batch.vals, self.bias_weight(state))
         else:
             w = self._gather_linear(state, batch.feats)
             lin = linear_logits(w, batch.vals, self.bias_weight(state))
-        # flat [B*F, E] gather: single 2-D row-major stream into the kernel
-        v = self._gather_vec(state, batch.feats.reshape(-1))
         do_aug = aug and not split and lane >= 0
         logits, *payload = ffm_fused_logits_grads(
             v,
@@ -105,7 +111,6 @@ class FFM(Model):
             # padded factor row (see Config.field_pad); the fold applies on
             # split payloads too so every update path maintains the mirror
             aug_lane=lane,
-            lin_lane=lane,
         )
         return logits, tuple(payload), do_aug
 
@@ -121,21 +126,28 @@ class FFM(Model):
 
     def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
         lane = self._lin_lane()
-        if lane >= 0:
-            lin = jnp.broadcast_to(self.bias_weight(state), batch.y.shape)
-        else:
-            w = self._gather_linear(state, batch.feats)
-            lin = linear_logits(w, batch.vals, self.bias_weight(state))
         if not train and self._use_pallas() and batch.feats.shape[0] % 8 == 0:
             # inference-only fused kernel: the serving/eval hot path
             from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
 
             v = self._gather_vec(state, batch.feats.reshape(-1))
+            if lane >= 0:
+                # mirrored linear weights from the gathered rows (see
+                # _train_grads: computed outside the kernel)
+                w = v[:, lane].reshape(batch.feats.shape)
+            else:
+                w = self._gather_linear(state, batch.feats)
+            lin = linear_logits(w, batch.vals, self.bias_weight(state))
             logits = ffm_fused_logits(
                 v, batch.fields, batch.vals, lin, self.field_pad,
-                self.n_factors, lin_lane=lane,
+                self.n_factors,
             )
             return logits, None
+        if lane >= 0:
+            lin = jnp.broadcast_to(self.bias_weight(state), batch.y.shape)
+        else:
+            w = self._gather_linear(state, batch.feats)
+            lin = linear_logits(w, batch.vals, self.bias_weight(state))
         v = self._gather_vec(state, batch.feats)  # [B, F, C'*K]
         logits, dlogit_dv = ffm_logits_and_grads(
             v,

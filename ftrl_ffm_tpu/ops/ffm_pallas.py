@@ -52,7 +52,6 @@ def _ffm_fused_kernel(
     n_factors: int,
     compute_grads: bool,
     aug_lane: int,
-    lin_lane: int,
 ):
     c, k = n_fields, n_factors
     tb, f = fields_ref.shape
@@ -91,18 +90,11 @@ def _ffm_fused_kernel(
     # (per-sample accumulators stay rank-2 [TB, 1]: Mosaic wants >= 2D)
     cross = jnp.sum(jnp.sum(s * s_t, axis=2), axis=1, keepdims=True)
 
-    lin = lin_ref[:]
-    if lin_lane >= 0:
-        # dead lane `lin_lane` of each factor row mirrors the linear-table
-        # weight (maintained by the dead-lane aug update), so the linear
-        # logit sum_m w_lin[m] * x_m falls out of the rows already in VMEM
-        # — lin_ref carries only the bias, and the separate [B, F]
-        # linear-weight gather disappears from the step entirely
-        lane_m = (
-            jax.lax.broadcasted_iota(jnp.int32, (tb, f, e), 2) == lin_lane
-        ).astype(jnp.float32)
-        lin = lin + jnp.sum(jnp.sum(xv * lane_m, axis=2), axis=1, keepdims=True)
-    logits = lin + 0.5 * (cross - self_sq)              # [TB, 1]
+    # NOTE: the linear-logit contribution from the mirrored dead lane is
+    # deliberately computed OUTSIDE this kernel (models/ffm.py) — an extra
+    # in-kernel reduction re-triggered the runtime-flaky gather ->
+    # custom-call device deadlock on the target runtime.
+    logits = lin_ref[:] + 0.5 * (cross - self_sq)       # [TB, 1]
     logits_ref[:] = logits
 
     if compute_grads:
@@ -145,7 +137,7 @@ def _ffm_fused_kernel(
     jax.jit,
     static_argnames=(
         "n_fields", "n_factors", "compute_grads", "block_b", "interpret",
-        "combined_out", "out_dtype", "aug_lane", "lin_lane",
+        "combined_out", "out_dtype", "aug_lane",
     ),
 )
 def ffm_fused_logits_grads(
@@ -163,7 +155,6 @@ def ffm_fused_logits_grads(
     combined_out: bool = True,
     out_dtype=jnp.float32,
     aug_lane: int = -1,
-    lin_lane: int = -1,
 ):
     """Fused FFM logits + per-occurrence grads.
 
@@ -200,7 +191,6 @@ def ffm_fused_logits_grads(
         # the dead-lane fold applies to split payloads too (the huge-table
         # in-place z-scatter then maintains the linear mirror as well)
         aug_lane=aug_lane,
-        lin_lane=lin_lane,
     )
     row_spec = pl.BlockSpec((block_b, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     # per-sample scalars ride as [B, 1] — rank-1 VMEM blocks must be
@@ -251,7 +241,6 @@ def _ffm_logits_kernel(
     *,
     n_fields: int,
     n_factors: int,
-    lin_lane: int,
 ):
     c, k = n_fields, n_factors
     tb, f = fields_ref.shape
@@ -276,32 +265,21 @@ def _ffm_logits_kernel(
     xv = v * vals[:, :, None]
     self_sq = jnp.sum(jnp.sum(oh_e * xv * xv, axis=2), axis=1, keepdims=True)
     cross = jnp.sum(jnp.sum(s * s_t, axis=2), axis=1, keepdims=True)
-    lin = lin_ref[:]
-    if lin_lane >= 0:
-        # linear weights mirrored in the dead lane (see the train kernel)
-        lane_m = (
-            jax.lax.broadcasted_iota(jnp.int32, (tb, f, e), 2) == lin_lane
-        ).astype(jnp.float32)
-        lin = lin + jnp.sum(jnp.sum(xv * lane_m, axis=2), axis=1, keepdims=True)
-    logits_ref[:] = lin + 0.5 * (cross - self_sq)
+    logits_ref[:] = lin_ref[:] + 0.5 * (cross - self_sq)
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=(
-        "n_fields", "n_factors", "block_b", "interpret", "lin_lane"
-    ),
+    jax.jit, static_argnames=("n_fields", "n_factors", "block_b", "interpret")
 )
 def ffm_fused_logits(
     v: jax.Array,        # [B*F, E] gathered factor rows (factor-major)
     fields: jax.Array,   # [B, F] int32
     vals: jax.Array,     # [B, F] f32
-    lin: jax.Array,      # [B] bias + linear logits (bias only w/ lin_lane)
+    lin: jax.Array,      # [B] bias + linear logits
     n_fields: int,
     n_factors: int,
     block_b: int = 0,
     interpret: bool = False,
-    lin_lane: int = -1,
 ) -> jax.Array:
     """Inference-only FFM logits — the serving/eval hot path.
 
@@ -317,10 +295,7 @@ def ffm_fused_logits(
         raise ValueError(f"batch {b} not divisible by block_b {block_b}")
 
     kernel = functools.partial(
-        _ffm_logits_kernel,
-        n_fields=n_fields,
-        n_factors=n_factors,
-        lin_lane=lin_lane,
+        _ffm_logits_kernel, n_fields=n_fields, n_factors=n_factors
     )
     row_spec = pl.BlockSpec((block_b, f), lambda i: (i, 0), memory_space=pltpu.VMEM)
     scalar_spec = pl.BlockSpec((block_b, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
