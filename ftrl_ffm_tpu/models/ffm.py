@@ -82,18 +82,14 @@ class FFM(Model):
         lane = self._lin_lane()
         # flat [B*F, E] gather: single 2-D row-major stream into the kernel
         v = self._gather_vec(state, batch.feats.reshape(-1))
-        if lane >= 0:
-            # linear weights mirrored in the dead lane: read them from the
-            # rows just gathered — no separate linear gather.  Computed
-            # OUTSIDE the kernel: an extra reduction inside the Mosaic body
-            # re-triggered the (runtime-flaky) gather -> custom-call device
-            # deadlock; the XLA column slice + reduce is cheap and keeps
-            # the kernel byte-identical to the proven one.
-            w = v[:, lane].reshape(batch.feats.shape)
-            lin = linear_logits(w, batch.vals, self.bias_weight(state))
-        else:
-            w = self._gather_linear(state, batch.feats)
-            lin = linear_logits(w, batch.vals, self.bias_weight(state))
+        # Mirrored linear weights read from the rows just gathered — no
+        # separate linear gather.  Computed OUTSIDE the kernel: an extra
+        # reduction inside the Mosaic body re-triggered the (runtime-flaky)
+        # gather -> custom-call device deadlock; the XLA column slice +
+        # reduce is cheap and keeps the kernel byte-identical to the
+        # proven one.
+        w = self._w_lin_from_rows(state, v, batch, self._lin_read_lane())
+        lin = linear_logits(w, batch.vals, self.bias_weight(state))
         do_aug = aug and not split and lane >= 0
         logits, *payload = ffm_fused_logits_grads(
             v,
@@ -124,26 +120,38 @@ class FFM(Model):
         from train AND serving."""
         return self.n_fields if self.field_pad > self.n_fields else -1
 
-    def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
+    def _lin_read_lane(self) -> int:
+        """Lane the FORWARD pass reads w_lin from: the mirror lane, but
+        only while the factor table is f32 — under table_dtype=bfloat16
+        the mirror holds bf16-rounded linear weights, and silently
+        quantizing the linear term would regress numerics vs the
+        always-f32 lin_w gather (which stays exact).  The mirror itself
+        is still maintained either way."""
         lane = self._lin_lane()
+        return lane if self.cfg.table_dtype == "float32" else -1
+
+    def _w_lin_from_rows(self, state, v, batch: Batch, lane: int):
+        """[B, F] linear weights: mirrored lane of the gathered rows when
+        enabled, else the canonical lin_w gather."""
+        if lane >= 0:
+            return v[:, lane].reshape(batch.feats.shape)
+        return self._gather_linear(state, batch.feats)
+
+    def _logits_and_grads(self, state: ModelState, batch: Batch, train: bool):
+        read_lane = self._lin_read_lane()
         if not train and self._use_pallas() and batch.feats.shape[0] % 8 == 0:
             # inference-only fused kernel: the serving/eval hot path
             from ftrl_ffm_tpu.ops.ffm_pallas import ffm_fused_logits
 
             v = self._gather_vec(state, batch.feats.reshape(-1))
-            if lane >= 0:
-                # mirrored linear weights from the gathered rows (see
-                # _train_grads: computed outside the kernel)
-                w = v[:, lane].reshape(batch.feats.shape)
-            else:
-                w = self._gather_linear(state, batch.feats)
+            w = self._w_lin_from_rows(state, v, batch, read_lane)
             lin = linear_logits(w, batch.vals, self.bias_weight(state))
             logits = ffm_fused_logits(
                 v, batch.fields, batch.vals, lin, self.field_pad,
                 self.n_factors,
             )
             return logits, None
-        if lane >= 0:
+        if read_lane >= 0:
             lin = jnp.broadcast_to(self.bias_weight(state), batch.y.shape)
         else:
             w = self._gather_linear(state, batch.feats)
@@ -157,7 +165,8 @@ class FFM(Model):
             self.field_pad,
             self.n_factors,
             compute_grads=train,
-            lin_lane=lane,
+            lin_lane=read_lane,
+            grad_lane=self._lin_lane(),
         )
         return logits, dlogit_dv
 

@@ -65,6 +65,7 @@ def ffm_logits_and_grads(
     n_factors: int,
     compute_grads: bool = True,
     lin_lane: int = -1,
+    grad_lane: int = -1,
 ) -> tuple[jax.Array, jax.Array | None]:
     """FFM field-aware pairwise logit and per-occurrence grads, batched.
 
@@ -105,10 +106,14 @@ def ffm_logits_and_grads(
         the LINEAR-table weight (Config.field_pad padding; the dead-lane
         aug update maintains the mirror): the linear logit contribution
         sum_m v[m, lin_lane] * x_m is computed here from the already-
-        gathered rows (lin_logits then carries only the bias), and
-        dlogit_dv's lane is set to x_m so the emitted per-occurrence
-        gradient doubles as the linear gradient g_lin = gs * x.  Kills the
-        separate [B, F] linear-weight gather.
+        gathered rows (lin_logits then carries only the bias).  Kills the
+        separate [B, F] linear-weight gather.  Forward-read only — pass -1
+        with bf16 factor tables, where the mirror would quantize the
+        linear term (the f32 lin_w gather stays exact).
+      grad_lane: when >= 0, dlogit_dv's dead lane is set to x_m so the
+        emitted per-occurrence gradient doubles as the linear gradient
+        g_lin = gs * x (maintains the mirror through every update path;
+        independent of whether the forward read it).
 
     Returns:
       logits: [B]
@@ -118,12 +123,8 @@ def ffm_logits_and_grads(
     c, k = n_fields, n_factors
     assert e == c * k
     if lin_lane >= 0:
-        lane_oh = (
-            jnp.arange(e, dtype=fields.dtype) == lin_lane
-        ).astype(v.dtype)  # [E]
-        lin_logits = lin_logits + jnp.sum(
-            jnp.sum(v * lane_oh, axis=2) * vals, axis=1
-        )
+        # static lane slice (not a gather): the mirrored linear weights
+        lin_logits = lin_logits + jnp.sum(v[:, :, lin_lane] * vals, axis=1)
     onehot = jax.nn.one_hot(fields, c, dtype=v.dtype)  # [B, F, C]
     xoh = onehot * vals[..., None]  # [B, F, C]
     # s[b, c, (k,d)] = S[c, d, k] = sum_{m: field_m = c} x_m * v_m[factor k,
@@ -156,10 +157,10 @@ def ffm_logits_and_grads(
         "bmd,bde->bme", onehot, s_t, precision=jax.lax.Precision.HIGHEST
     )  # [B, F, E]
     dlogit_dv = vals[..., None] * (t - oh_e * xv)
-    if lin_lane >= 0:
+    if grad_lane >= 0:
         # d logit / d (linear weight) = x: the dead lane's factor grad is
         # identically zero, so the select only injects the linear grad
         dlogit_dv = jnp.where(
-            jnp.arange(e) == lin_lane, vals[..., None], dlogit_dv
+            jnp.arange(e) == grad_lane, vals[..., None], dlogit_dv
         )
     return logits, dlogit_dv

@@ -278,6 +278,21 @@ class ShardedStep:
             return cfg.n_fields
         return -1
 
+    def _w_lin(self, state, v, rt, ids_phys, shape):
+        """[b_local, F] linear weights: read from the mirrored lane of the
+        already-gathered rows when enabled (f32 tables only — a bf16
+        mirror would quantize the linear term), else the canonical
+        routed/replicated lin_w lookup."""
+        if (
+            self._lin_lane >= 0
+            and v is not None
+            and self.cfg.table_dtype == "float32"
+        ):
+            return v[:, self._lin_lane].reshape(shape)
+        if rt is not None:
+            return self._routed_rows(state.lin_w, rt).reshape(shape)
+        return self._lookup_linear(state.lin_w, ids_phys.reshape(shape))
+
     def _use_pallas(self, b_local: int) -> bool:
         cfg = self.cfg
         return cfg.model_type == "FFM" and b_local % 8 == 0 and (
@@ -396,28 +411,15 @@ class ShardedStep:
                 if state.vec_w is not None
                 else None
             )
-            w_lin = (
-                v[:, self._lin_lane].reshape(batch.feats.shape)
-                if self._lin_lane >= 0 and v is not None
-                # the mirrored lane makes this second routed lookup
-                # (its own all_to_all pair) unnecessary for padded FFM
-                else self._routed_rows(state.lin_w, rt).reshape(
-                    batch.feats.shape
-                )
-            )
         else:
             v = (
                 self._lookup_vec(state.vec_w, ids_phys)
                 if state.vec_w is not None
                 else None
             )
-            w_lin = (
-                v[:, self._lin_lane].reshape(batch.feats.shape)
-                if self._lin_lane >= 0 and v is not None
-                else self._lookup_linear(
-                    state.lin_w, ids_phys.reshape(batch.feats.shape)
-                )
-            )
+        # mirrored lane spares the second routed lookup (its own
+        # all_to_all pair) for padded FFM — see _w_lin
+        w_lin = self._w_lin(state, v, rt, ids_phys, batch.feats.shape)
 
         lin = linear_logits(w_lin, batch.vals, bias_w)
         logits, gg2_vec = self._model_logits_gg2(batch, lin, v, train=True)
@@ -473,6 +475,7 @@ class ShardedStep:
     def _eval_logits(self, state: ModelState, batch: Batch):
         ids_phys = self._phys_ids(batch.feats)
         bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
+        rt = None
         if self.mode == "route":
             rt = self._route(ids_phys)
             v = (
@@ -480,26 +483,13 @@ class ShardedStep:
                 if state.vec_w is not None
                 else None
             )
-            w_lin = (
-                v[:, self._lin_lane].reshape(batch.feats.shape)
-                if self._lin_lane >= 0 and v is not None
-                else self._routed_rows(state.lin_w, rt).reshape(
-                    batch.feats.shape
-                )
-            )
         else:
             v = (
                 self._lookup_vec(state.vec_w, ids_phys)
                 if state.vec_w is not None
                 else None
             )
-            w_lin = (
-                v[:, self._lin_lane].reshape(batch.feats.shape)
-                if self._lin_lane >= 0 and v is not None
-                else self._lookup_linear(
-                    state.lin_w, ids_phys.reshape(batch.feats.shape)
-                )
-            )
+        w_lin = self._w_lin(state, v, rt, ids_phys, batch.feats.shape)
         lin = linear_logits(w_lin, batch.vals, bias_w)
         logits, _ = self._model_logits_gg2(batch, lin, v, train=False)
         return logits

@@ -128,7 +128,9 @@ class Trainer:
             jit_kw = {}
             auto = None
             if fmt is not None:
-                self.state = jax.device_put(self.state, fmt)
+                # donate: at 1M-row scale a non-donating relayout put briefly holds
+                # TWO full table copies (15.4 GB) and OOMs the chip
+                self.state = jax.device_put(self.state, fmt, donate=True)
                 auto = fmt.bias_n  # layout-free Format on the same device
                 jit_kw = dict(
                     in_shardings=(fmt, auto),
@@ -623,7 +625,13 @@ class Trainer:
                 if self._sharded is not None:
                     _, _, logits = self._sharded.eval_step(self.state, batch)
                 else:
-                    _, _, logits = self._eval_plain(self.state, batch)
+                    try:
+                        _, _, logits = self._eval_plain(self.state, batch)
+                    except ValueError as e:
+                        if not self._is_layout_mismatch(e):
+                            raise
+                        self._drop_layout_pins()
+                        _, _, logits = self._eval_plain(self.state, batch)
                 probs = np.asarray(jax.nn.sigmoid(logits), np.float64)
                 mask = np.asarray(arrays[4]) > 0  # drop padded tail samples
                 for p in probs[mask]:

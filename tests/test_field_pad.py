@@ -288,3 +288,46 @@ def test_import_reference_restores_mirror():
     np.testing.assert_allclose(
         np.asarray(st.vec_z[:, 39]), np.asarray(st.lin_z), rtol=1e-6
     )
+
+
+def test_bf16_tables_keep_f32_linear_forward():
+    """Under table_dtype=bfloat16 the forward must NOT read the (bf16-
+    rounded) mirrored lane — it keeps the exact f32 lin_w gather; the
+    mirror is still maintained for state consistency."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.models import Batch, make_model
+
+    cfg16 = Config(
+        model_type="FFM", n_fields=39, n_feats=64, n_factors=16,
+        batch_size=16, max_nnz=5, table_dtype="bfloat16", use_pallas="off",
+    )
+    m16 = make_model(cfg16)
+    assert m16._lin_lane() == 39
+    assert m16._lin_read_lane() == -1  # forward keeps the f32 gather
+    cfg32 = Config(
+        model_type="FFM", n_fields=39, n_feats=64, n_factors=16,
+        batch_size=16, max_nnz=5, use_pallas="off",
+    )
+    assert make_model(cfg32)._lin_read_lane() == 39
+
+    # the mirror is still fed under bf16 tables (grad_lane active), but
+    # only to bf16 precision: the lane's sigma*w term uses the bf16-stored
+    # w while lin_z uses exact f32 lin_w — which is exactly why the
+    # forward doesn't read the lane under bf16 tables
+    rng = np.random.default_rng(6)
+    b, f = 16, 5
+    st = m16.init()
+    for _ in range(2):
+        batch = Batch(
+            fields=jnp.asarray(rng.integers(0, 39, (b, f)).astype(np.int32)),
+            feats=jnp.asarray(rng.integers(0, 64, (b, f)).astype(np.int32)),
+            vals=jnp.asarray(rng.random((b, f)).astype(np.float32)),
+            y=jnp.asarray((rng.random(b) > 0.5).astype(np.float32)),
+            sample_w=jnp.asarray(np.ones(b, np.float32)),
+        )
+        st = m16.train_step(st, batch).state
+    np.testing.assert_allclose(
+        np.asarray(st.vec_z[:, 39]), np.asarray(st.lin_z),
+        rtol=2e-2, atol=1e-4,
+    )

@@ -29,5 +29,6 @@ def test_dryrun_multichip_8():
 
 
 def test_dryrun_multichip_odd():
+    # odd device count exercises the model_axis=1 (pure data-parallel) branch
     g = _load()
-    g.dryrun_multichip(4)
+    g.dryrun_multichip(3)

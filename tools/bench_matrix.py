@@ -85,10 +85,13 @@ def run_row(row: str) -> dict:
 
     if row == "eval":
         trainer.cfg.eval_data = path
-        t0 = time.perf_counter()
-        loss, auc = trainer.evaluate()
-        dt = time.perf_counter() - t0
-        return {"row": row, "examples_per_s": round(N_SAMPLES / dt, 1),
+        trainer.evaluate()  # warm-up: compile the eval/AUC jit
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            loss, auc = trainer.evaluate()
+            times.append(time.perf_counter() - t0)
+        return {"row": row, "examples_per_s": round(N_SAMPLES / min(times), 1),
                 "eval_loss": round(loss, 4)}
 
     times = []

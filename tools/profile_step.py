@@ -75,7 +75,7 @@ def _jit_train(model, state):
     fmt = state_formats(state)
     kw = {}
     if fmt is not None:
-        state = jax.device_put(state, fmt)
+        state = jax.device_put(state, fmt, donate=True)  # avoid 2x-state OOM
         auto = fmt.bias_n
         kw = dict(
             in_shardings=(fmt, auto),
