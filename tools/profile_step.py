@@ -50,6 +50,16 @@ def build(use_pallas: str = "auto", update_mode: str = "auto"):
         acc_dtype=os.environ.get("ACC_DTYPE", "float32"),
         table_dtype=os.environ.get("TABLE_DTYPE", "float32"),
     )
+    bb = int(os.environ.get("BLOCK_B", 0))
+    if bb:
+        # pin the Pallas batch-tile size (kernel block_b sweep)
+        import functools
+
+        import ftrl_ffm_tpu.ops.ffm_pallas as fp
+
+        fp.ffm_fused_logits_grads = functools.partial(
+            fp.ffm_fused_logits_grads, block_b=bb
+        )
     model = make_model(cfg)
     state = model.init()
     rng = np.random.default_rng(0)
