@@ -260,7 +260,7 @@ class Trainer:
         import queue as _queue
         import threading as _threading
 
-        q: _queue.Queue = _queue.Queue(maxsize=2)
+        q: _queue.Queue = _queue.Queue(maxsize=3)
         err: list[BaseException] = []
 
         def upload():
@@ -288,7 +288,7 @@ class Trainer:
         import queue as _queue
         import threading as _threading
 
-        q: _queue.Queue = _queue.Queue(maxsize=2)
+        q: _queue.Queue = _queue.Queue(maxsize=3)
         err: list[BaseException] = []
 
         def upload():
