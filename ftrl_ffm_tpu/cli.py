@@ -104,9 +104,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler trace of epoch 1 here")
     p.add_argument("--predict_data", default="",
-                   help="after training, score this file")
+                   help="after training, score this file ('-': stdin stream; "
+                        "requires --file_type and --max_nnz)")
     p.add_argument("--predict_output", default="predictions.txt",
-                   help="output path for --predict_data probabilities")
+                   help="output path for --predict_data probabilities "
+                        "('-': stdout)")
     # ---- multi-host (SPMD over DCN; one process per host) ----
     p.add_argument("--coordinator_address", default="",
                    help="jax.distributed coordinator host:port (multi-host)")
@@ -152,6 +154,15 @@ def main(argv: list[str] | None = None) -> int:
         print(
             "error: --train_data is required (or --cmd true for stdin, or "
             "--load_model with --predict_data/--eval_data for serving/eval)",
+            file=sys.stderr,
+        )
+        return 2
+
+    if args.predict_data == "-" and (not cfg.file_type or not cfg.max_nnz):
+        # stdin cannot be sniffed or re-read: both must be explicit
+        print(
+            "error: --predict_data - (stdin) requires --file_type and "
+            "--max_nnz",
             file=sys.stderr,
         )
         return 2

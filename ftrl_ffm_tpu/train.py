@@ -602,15 +602,26 @@ class Trainer:
         """Score a libsvm/libffm file: one sigmoid probability per line.
 
         New capability vs the reference (which can only eval log-loss).
+        data_path "-" scores a stdin stream and out_path "-" writes to
+        stdout — pipe-based batch serving (`cat f | ... --predict_data -`),
+        the scoring twin of --cmd's stdin training
+        (reference: src/concurrent/pc_task.cpp:41).
         Returns the number of samples scored."""
+        import contextlib
+        import sys
+
         cfg = self.cfg
         if self._proc_n > 1:
             raise NotImplementedError(
                 "predict_file writes ordered per-line output; run it "
                 "single-process (training can stay multi-host)"
             )
+        if data_path == "-" and not cfg.file_type:
+            raise ValueError(
+                "--predict_data -: stdin cannot be sniffed; set --file_type"
+            )
         reader = StreamReader(
-            data_path,
+            sys.stdin if data_path == "-" else data_path,
             cfg.file_type or detect_file_type(data_path),
             cfg.batch_size,
             cfg.max_nnz,
@@ -619,7 +630,12 @@ class Trainer:
             n_parse_threads=cfg.n_threads,
         )
         total = 0
-        with open(out_path, "w") as f:
+        out_cm = (
+            contextlib.nullcontext(sys.stdout)
+            if out_path == "-"
+            else open(out_path, "w")
+        )
+        with out_cm as f:
             for arrays in reader.batches():
                 batch = self._device_batch(arrays)
                 if self._sharded is not None:

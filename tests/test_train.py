@@ -347,3 +347,48 @@ def test_layout_pin_repair_on_stale_executable(tmp_path):
         got = t.train()
     assert t._fmt is None  # pins dropped, rebuilt jits
     np.testing.assert_allclose(got["train_loss"], ref["train_loss"], rtol=1e-6)
+
+
+# ------------------------------------------------------------- predict_file
+def test_predict_file_and_stdin(tmp_path, monkeypatch, capsys):
+    """predict_file: one in-(0,1) probability per input line, padded tail
+    dropped; '-' input scores a stdin stream and '-' output writes stdout,
+    both identical to the file path (pipe-based batch serving)."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    score = write_fixture(tmp_path / "score.ffm", "libffm", seed=2)
+    # 64 fixture lines with batch 24: last batch is padded (64 = 2*24 + 16)
+    tr = Trainer(_cfg(train, "", True, batch_size=24, n_epochs=1))
+    tr.train()
+
+    out = tmp_path / "preds.txt"
+    n = tr.predict_file(score, str(out))
+    lines = out.read_text().splitlines()
+    assert n == len(lines) == sum(1 for _ in open(score))
+    probs = np.array([float(x) for x in lines])
+    assert np.all((probs > 0) & (probs < 1))
+
+    # stdin -> stdout must produce the same scores
+    capsys.readouterr()  # clear buffered training prints
+    monkeypatch.setattr("sys.stdin", open(score))
+    n2 = tr.predict_file("-", "-")
+    captured = capsys.readouterr().out.splitlines()
+    assert n2 == n
+    np.testing.assert_allclose(
+        [float(x) for x in captured], probs, rtol=0, atol=0
+    )
+
+
+def test_predict_stdin_requires_file_type(tmp_path):
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, n_epochs=1))
+    tr.cfg.file_type = ""
+    with pytest.raises(ValueError, match="file_type"):
+        tr.predict_file("-", "-")
+
+
+def test_cli_predict_stdin_flag_validation(tmp_path, capsys):
+    from ftrl_ffm_tpu.cli import main
+
+    rc = main(["--predict_data", "-", "--load_model", "nonexistent.ckpt"])
+    assert rc == 2
+    assert "--file_type and --max_nnz" in capsys.readouterr().err
