@@ -65,7 +65,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--factor_semantics", default="keep_init",
                    help="keep_init | reference (see Config)")
     p.add_argument("--update_mode", default="auto",
-                   choices=("auto", "dense", "sparse"),
+                   choices=("auto", "dense", "sparse", "inplace"),
                    help="FTRL table update strategy (see Config.update_mode)")
     p.add_argument("--table_dtype", default="float32",
                    choices=("float32", "bfloat16"),

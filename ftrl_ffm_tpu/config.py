@@ -68,9 +68,13 @@ class Config:
     # (fastest while the table is not much larger than the batch's nnz);
     # "sparse" updates touched rows only via sort/segment-sum (O(nnz) temps);
     # "auto" picks per table (ftrl.select_update_kind), including the
-    # in-place huge-table form (g scattered straight into z).  In
-    # lookup_mode=route the update is always the dense local-shard
-    # accumulator (table shards are 1/mesh_model of the rows).
+    # in-place huge-table form (g scattered straight into z); "inplace"
+    # forces that huge-table form (mainly for tests — with the FFM
+    # dead-lane mirror it also skips the separate linear-table scatter and
+    # reconciles lin tables from the mirror at checkpoint/export
+    # boundaries, see models/base.py::train_step).  In lookup_mode=route
+    # the update is always the dense local-shard accumulator (table shards
+    # are 1/mesh_model of the rows).
     update_mode: str = "auto"
     # Gradient-accumulator dtype for the combined (g || g^2) payload +
     # scatter accumulator on the Pallas path: "bfloat16" halves the bytes of
@@ -112,7 +116,7 @@ class Config:
             )
         if self.factor_semantics not in ("reference", "keep_init"):
             raise ValueError(f"invalid factor_semantics: {self.factor_semantics}")
-        if self.update_mode not in ("auto", "dense", "sparse"):
+        if self.update_mode not in ("auto", "dense", "sparse", "inplace"):
             raise ValueError(f"invalid update_mode: {self.update_mode}")
         if self.table_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"invalid table_dtype: {self.table_dtype}")

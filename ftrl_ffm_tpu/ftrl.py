@@ -342,15 +342,23 @@ def dense_ftrl_update_inplace(
     sorting sparse path is avoided entirely (TPU sorts of the [nnz] id
     stream are the sparse path's wall).
 
-    The closed-form pass runs block-by-block in a fori_loop with in-place
-    dynamic-update-slices on the (donated) tables.  A whole-table
-    elementwise pass is mathematically identical, but XLA's buffer
-    assignment materializes table-sized temporaries for the three-output
-    fusion (measured: 4 x 2.38 GB HLO temps at 1M x 624, an HBM OOM on
-    v5e with remat-compression thrashing); the loop caps live temps at
+    The closed-form pass streams through a Pallas kernel with in-place
+    aliased outputs on TPU (ops/ftrl_pallas.py — measured 31.7 -> ~22 ms
+    at R=1M), falling back to a fori_loop with in-place
+    dynamic-update-slices elsewhere.  A whole-table elementwise pass is
+    mathematically identical, but XLA's buffer assignment materializes
+    table-sized temporaries for the three-output fusion (measured:
+    4 x 2.38 GB HLO temps at 1M x 624, an HBM OOM on v5e with
+    remat-compression thrashing); both forms cap live temps at
     O(block_rows * D) while keeping traffic identical."""
     z_tab = z_tab.at[ids].add(g, mode="drop")
     a = jnp.zeros(n_tab.shape, g2.dtype).at[ids].add(g2, mode="drop")
+
+    from ftrl_ffm_tpu.ops.ftrl_pallas import closed_form_pass_pallas
+
+    out = closed_form_pass_pallas(n_tab, z_tab, w_tab, a, p)
+    if out is not None:
+        return out
 
     def blk(nb, zb, wb, ab):
         sigma = (jnp.sqrt(nb + ab) - jnp.sqrt(nb)) / p.alpha
@@ -411,6 +419,8 @@ def select_update_kind(
         return "dense2"
     if mode == "sparse":
         return "sparse2"
+    if mode == "inplace":
+        return "inplace" if row_width else "dense2"
     d = max(1, row_width)
     if n_rows <= 4 * nnz and 2 * n_rows * d * 4 <= (2 << 30):
         return "dense2"

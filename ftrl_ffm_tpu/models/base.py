@@ -289,6 +289,20 @@ class Model:
         n_fields) so a dead lane exists."""
         return False
 
+    def _lin_mirror_maintained(self) -> bool:
+        """True when the factor tables' dead lane carries a complete,
+        forward-read linear-table mirror (FFM with field_pad and f32
+        tables): the huge-table in-place update may then skip the separate
+        linear-table scatter entirely and let the lin arrays ride stale
+        through training (Trainer reconciles them from the mirror at
+        checkpoint/export boundaries via sync_lin_from_mirror)."""
+        return False
+
+    def sync_lin_from_mirror(self, state: ModelState) -> ModelState:
+        """Reconcile the linear tables from the factor tables' mirror lane
+        (no-op unless the model maintains one — see FFM)."""
+        return state
+
     def train_step(self, state: ModelState, batch: Batch) -> TrainOut:
         """One deterministic mini-batch FTRL step (== reference FFM::train
         pipeline, src/model/ffm.cpp:38-50, vectorized over the batch)."""
@@ -348,20 +362,33 @@ class Model:
                 count=count,
             )
 
-        # Linear table: g = gs * x (reference: src/model/ftrl_model.cpp:66-77).
-        # Flat [nnz] streams keep the gather->kernel->scatter chain in one
-        # row-major 2-D layout (avoids relayout copies on TPU).
-        g_lin = (gs[:, None] * batch.vals).reshape(-1)
-        gg2_lin = jnp.stack([g_lin, g_lin * g_lin], axis=-1)  # [nnz, 2]
-        lin_kind = select_update_kind(
-            state.lin_n.shape[0], 0, nnz, self.cfg.update_mode
-        )
-        lin_update = (
-            sparse_ftrl_update2 if lin_kind == "sparse2" else dense_ftrl_update2
-        )
-        lin_n, lin_z, lin_w = lin_update(
-            state.lin_n, state.lin_z, state.lin_w, ids, gg2_lin, p
-        )
+        if vec_kind == "inplace" and self._lin_mirror_maintained():
+            # Huge-table path with a dead-lane linear mirror: every payload
+            # (Pallas aug_lane / XLA grad_lane) already carries g_lin, so the
+            # in-place factor update maintains complete linear stats in the
+            # mirror lane.  Skip the separate [nnz, 2] linear scatter
+            # (measured ~14 ms/step at R=1M) — the lin arrays ride stale and
+            # are reconciled from the mirror at checkpoint/export boundaries
+            # (Trainer._maybe_sync_lin -> sync_lin_from_mirror).
+            lin_n, lin_z, lin_w = state.lin_n, state.lin_z, state.lin_w
+        else:
+            # Linear table: g = gs * x (reference:
+            # src/model/ftrl_model.cpp:66-77).  Flat [nnz] streams keep the
+            # gather->kernel->scatter chain in one row-major 2-D layout
+            # (avoids relayout copies on TPU).
+            g_lin = (gs[:, None] * batch.vals).reshape(-1)
+            gg2_lin = jnp.stack([g_lin, g_lin * g_lin], axis=-1)  # [nnz, 2]
+            lin_kind = select_update_kind(
+                state.lin_n.shape[0], 0, nnz, self.cfg.update_mode
+            )
+            lin_update = (
+                sparse_ftrl_update2
+                if lin_kind == "sparse2"
+                else dense_ftrl_update2
+            )
+            lin_n, lin_z, lin_w = lin_update(
+                state.lin_n, state.lin_z, state.lin_w, ids, gg2_lin, p
+            )
 
         vec_n, vec_z, vec_w = state.vec_n, state.vec_z, state.vec_w
         if payload is not None:

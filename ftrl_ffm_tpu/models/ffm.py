@@ -170,6 +170,32 @@ class FFM(Model):
         )
         return logits, dlogit_dv
 
+    def _lin_mirror_maintained(self) -> bool:
+        # Both payload producers fold g_lin into the dead lane
+        # (ffm_pallas aug_lane / interactions grad_lane), and the forward
+        # reads w_lin from the mirror whenever _lin_read_lane() >= 0 — so
+        # with f32 tables the mirror is a complete linear-table replica.
+        return self._lin_read_lane() >= 0
+
+    def sync_lin_from_mirror(self, state: ModelState) -> ModelState:
+        """lin_(n,z,w) := factor tables' dead mirror lane.
+
+        Exact: the mirror lane starts at the linear init (0, see
+        Model.init's dead-lane zeroing) and accumulates the identical
+        (g_lin, g_lin^2) stream through every update path, so its closed
+        form equals the canonical linear tables'.  Cost: one strided
+        column read per table — boundary-only (checkpoints/exports), never
+        per-step."""
+        lane = self._lin_read_lane()
+        if lane < 0 or state.vec_n is None:
+            return state
+        n = state.lin_n.shape[0]
+        return state._replace(
+            lin_n=state.vec_n[:n, lane],
+            lin_z=state.vec_z[:n, lane],
+            lin_w=state.vec_w[:n, lane].astype(state.lin_w.dtype),
+        )
+
     def init_from_weights(self, bias, lin_w, vec_w=None) -> ModelState:
         """Restore the dead-lane linear mirror on warm starts: reference
         blobs know nothing about the padded layout, so after the base

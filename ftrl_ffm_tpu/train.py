@@ -249,7 +249,30 @@ class Trainer:
             return unshard_state(
                 self.state, self._sharded.n_shards, self.cfg.n_feats
             )
+        self._maybe_sync_lin()
         return self.state
+
+    def _lin_rides_stale(self) -> bool:
+        """True when train steps skip the separate linear-table update and
+        leave the lin arrays stale (huge-table in-place path with the
+        dead-lane mirror — see Model._lin_mirror_maintained)."""
+        st = self.state
+        if self._sharded is not None or st.vec_n is None:
+            return False
+        from ftrl_ffm_tpu.ftrl import select_update_kind
+
+        nnz = self.cfg.batch_size * max(1, self.cfg.max_nnz)
+        kind = select_update_kind(
+            st.vec_n.shape[0], st.vec_n.shape[-1], nnz, self.cfg.update_mode
+        )
+        return kind == "inplace" and self.model._lin_mirror_maintained()
+
+    def _maybe_sync_lin(self) -> None:
+        """Reconcile stale linear tables from the factor-table mirror lane
+        before any state export (checkpoints, reference blobs,
+        logical_state reads).  Idempotent and boundary-only."""
+        if self._lin_rides_stale():
+            self.state = self.model.sync_lin_from_mirror(self.state)
 
     # ---- batch plumbing ----
     def _device_feed(self, arrays_iter):
@@ -677,6 +700,7 @@ class Trainer:
             return
         from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
 
+        self._maybe_sync_lin()
         save_checkpoint(
             path,
             self.state,

@@ -274,3 +274,34 @@ def test_train_step_pallas_aug_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(st_p.vec_z), np.asarray(st_x.vec_z), rtol=2e-3, atol=5e-5
     )
+
+
+def test_closed_form_pass_pallas_matches_fori_loop():
+    """ops/ftrl_pallas.py streaming pass == ftrl.py's fori_loop form
+    (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.ftrl import FtrlParams, dense_ftrl_update_inplace
+    from ftrl_ffm_tpu.ops.ftrl_pallas import closed_form_pass_pallas
+
+    rng = np.random.default_rng(3)
+    r, d, nnz = 64, 128, 96
+    p = FtrlParams(alpha=0.05, beta=1.0, l1=0.1, l2=1.0)
+    n = jnp.asarray(np.abs(rng.normal(0, 1, (r, d))).astype(np.float32))
+    z = jnp.asarray(rng.normal(0, 1, (r, d)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.1, (r, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, r + 1, nnz).astype(np.int32))  # incl. drop
+    g = jnp.asarray(rng.normal(0, 1, (nnz, d)).astype(np.float32))
+    g2 = g * g
+
+    ref = dense_ftrl_update_inplace(n, z, w, ids, g, g2, p, block_rows=16)
+
+    zp = z.at[ids].add(g, mode="drop")
+    a = jnp.zeros_like(n).at[ids].add(g2, mode="drop")
+    got = closed_form_pass_pallas(n, zp, w, a, p, interpret=True)
+    assert got is not None
+    for name, x, y in zip(("n", "z", "w"), got, ref):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7,
+            err_msg=f"closed-form pass mismatch in {name}",
+        )

@@ -217,6 +217,8 @@ def test_linear_mirror_invariant_all_paths(monkeypatch):
     rng = np.random.default_rng(3)
     b, c, k, r, f = 16, 39, 16, 64, 5
 
+    models = {}
+
     def run(use_pallas, update_mode="auto", interpret=False):
         if interpret:
             import ftrl_ffm_tpu.ops.ffm_pallas as fp
@@ -244,6 +246,7 @@ def test_linear_mirror_invariant_all_paths(monkeypatch):
             )
             st = m.train_step(st, batch).state
         monkeypatch.undo()
+        models[use_pallas] = m
         return st
 
     for name, st in (
@@ -259,6 +262,11 @@ def test_linear_mirror_invariant_all_paths(monkeypatch):
             )
             st = run("off")
             monkeypatch.undo()
+            # the in-place path intentionally skips the separate linear
+            # update (lin arrays ride stale); the boundary sync must
+            # reconstruct them exactly from the mirror lane
+            assert np.abs(np.asarray(st.lin_z)).max() == 0  # stale by design
+            st = models["off"].sync_lin_from_mirror(st)
         np.testing.assert_allclose(
             np.asarray(st.vec_z[:, 39]), np.asarray(st.lin_z),
             rtol=1e-5, atol=1e-7, err_msg=f"z mirror broken ({name})",

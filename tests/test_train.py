@@ -392,3 +392,111 @@ def test_cli_predict_stdin_flag_validation(tmp_path, capsys):
     rc = main(["--predict_data", "-", "--load_model", "nonexistent.ckpt"])
     assert rc == 2
     assert "--file_type and --max_nnz" in capsys.readouterr().err
+
+
+# ------------------------------------------- in-place update + stale lin sync
+def _mirror_cfg(train_path, **kw):
+    """FFM config where field_pad adopts a dead lane (C=7, K=16 -> C'=8),
+    so the linear mirror is active."""
+    base = dict(
+        train_data=train_path,
+        model_type="FFM",
+        n_feats=60,
+        n_fields=7,
+        n_factors=16,
+        n_epochs=2,
+        online=True,
+        batch_size=16,
+        w_alpha=0.05,
+        w_l1=0.15,
+        w_l2=1.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _write_7field_ffm(path, n=64, seed=0):
+    rng = np.random.default_rng(seed)
+    with open(path, "w") as f:
+        for _ in range(n):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 60))}:1" for c in range(7)
+            ]
+            f.write(" ".join(toks) + "\n")
+    return str(path)
+
+
+def test_inplace_skips_lin_update_and_syncs_from_mirror(tmp_path):
+    """update_mode=inplace with the dead-lane mirror: the separate linear
+    scatter is skipped (lin arrays ride stale), and the boundary sync from
+    the mirror reproduces the dense path's linear tables."""
+    train = _write_7field_ffm(tmp_path / "train.ffm")
+    t_in = Trainer(_mirror_cfg(train, update_mode="inplace"))
+    assert t_in.model._lin_mirror_maintained()
+    assert t_in._lin_rides_stale()
+    h_in = t_in.train()
+
+    t_dn = Trainer(_mirror_cfg(train, update_mode="dense"))
+    assert not t_dn._lin_rides_stale()
+    h_dn = t_dn.train()
+
+    # identical training trajectory (losses use logits, not lin arrays)
+    np.testing.assert_allclose(h_in["train_loss"], h_dn["train_loss"], rtol=1e-6)
+
+    # raw state: lin arrays are stale (never touched) on the inplace run
+    np.testing.assert_array_equal(np.asarray(t_in.state.lin_z), 0.0)
+    assert np.any(np.asarray(t_dn.state.lin_z) != 0.0)
+
+    # boundary sync (logical_state) reconciles from the mirror == dense lin
+    s_in = t_in.logical_state
+    s_dn = t_dn.logical_state
+    np.testing.assert_allclose(
+        np.asarray(s_in.lin_z), np.asarray(s_dn.lin_z), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_in.lin_n), np.asarray(s_dn.lin_n), rtol=1e-5, atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_in.lin_w), np.asarray(s_dn.lin_w), rtol=1e-5, atol=1e-8
+    )
+
+
+def test_inplace_checkpoint_resume_after_sync(tmp_path):
+    """Checkpoints taken during an inplace run carry reconciled linear
+    tables; resuming from one continues identically to the dense path."""
+    train = _write_7field_ffm(tmp_path / "train.ffm")
+    ckpt = str(tmp_path / "m.ckpt")
+
+    t_in = Trainer(_mirror_cfg(train, update_mode="inplace", n_epochs=1))
+    t_in.train()
+    t_in.save_checkpoint(ckpt)
+
+    from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
+
+    state, _ = load_checkpoint(ckpt)
+    t_dn = Trainer(_mirror_cfg(train, update_mode="dense", n_epochs=1))
+    t_dn.train()
+    np.testing.assert_allclose(
+        np.asarray(state.lin_z),
+        np.asarray(t_dn.state.lin_z),
+        rtol=1e-5, atol=1e-8,
+    )
+    # resume: one more epoch from the checkpoint matches dense continuing
+    t_res = Trainer(_mirror_cfg(train, update_mode="inplace", n_epochs=1),
+                    state=state)
+    h_res = t_res.train()
+    h_dn2 = t_dn.train()
+    np.testing.assert_allclose(
+        h_res["train_loss"], h_dn2["train_loss"], rtol=1e-6
+    )
+
+
+def test_mirror_off_keeps_exact_lin(tmp_path):
+    """Without a dead lane (field_pad == n_fields) the inplace path keeps
+    the canonical linear update — nothing rides stale."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    t = Trainer(_cfg(train, "", True, update_mode="inplace"))
+    assert not t._lin_rides_stale()
+    h = t.train()
+    assert np.any(np.asarray(t.state.lin_z) != 0.0)
+    assert all(np.isfinite(h["train_loss"]))
