@@ -83,7 +83,7 @@ def main() -> None:
     jax.block_until_ready(trainer.state.lin_z)
 
     times = []
-    for _ in range(2):
+    for _ in range(3):  # best-of-3: the relay adds ±8% run-to-run variance
         t0 = time.perf_counter()
         trainer.train_epoch()
         jax.block_until_ready(trainer.state.lin_z)
