@@ -166,6 +166,27 @@ def main(argv: list[str] | None = None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.predict_data == "-" and cfg.cmd:
+        # --cmd training already consumes stdin to EOF; a second stdin
+        # stream cannot exist in the same invocation
+        print(
+            "error: --predict_data - cannot be combined with --cmd "
+            "(both read stdin)",
+            file=sys.stderr,
+        )
+        return 2
+    # With predictions streaming to stdout, every informational line must
+    # go to stderr or it corrupts the one-probability-per-line contract.
+    import contextlib
+    import functools as _ft
+
+    preds_on_stdout = bool(args.predict_data) and args.predict_output == "-"
+    info = _ft.partial(print, file=sys.stderr) if preds_on_stdout else print
+    trainer_out = (
+        contextlib.redirect_stdout(sys.stderr)
+        if preds_on_stdout
+        else contextlib.nullcontext()
+    )
 
     from ftrl_ffm_tpu.train import Trainer
 
@@ -180,7 +201,7 @@ def main(argv: list[str] | None = None) -> int:
         from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
 
         state, extra = load_checkpoint(load_from)
-        print(f"resumed from {load_from} (step {int(state.step)})")
+        info(f"resumed from {load_from} (step {int(state.step)})")
 
     t0 = time.perf_counter()
     if not cfg.max_nnz and serve_only and args.predict_data and not cfg.eval_data:
@@ -202,26 +223,27 @@ def main(argv: list[str] | None = None) -> int:
             from ftrl_ffm_tpu.parallel import shard_state
 
             trainer.state = shard_state(trainer.state, trainer._sharded.mesh)
-        print(f"imported reference model from {args.import_reference_model}")
-    if cfg.train_data or cfg.cmd:
-        trainer.train(profile_dir=args.profile_dir or None)
-    elif cfg.eval_data:
-        eval_loss, eval_auc = trainer.evaluate()
-        if cfg.eval_auc:
-            print(f"eval loss: {eval_loss:.4f}, eval auc: {eval_auc:.4f}")
-        else:
-            print(f"eval loss: {eval_loss:.4f}")
-    print(f"total time: {time.perf_counter() - t0:.4f}s")
+        info(f"imported reference model from {args.import_reference_model}")
+    with trainer_out:
+        if cfg.train_data or cfg.cmd:
+            trainer.train(profile_dir=args.profile_dir or None)
+        elif cfg.eval_data:
+            eval_loss, eval_auc = trainer.evaluate()
+            if cfg.eval_auc:
+                print(f"eval loss: {eval_loss:.4f}, eval auc: {eval_auc:.4f}")
+            else:
+                print(f"eval loss: {eval_loss:.4f}")
+    info(f"total time: {time.perf_counter() - t0:.4f}s")
 
     if args.predict_data:
         n = trainer.predict_file(args.predict_data, args.predict_output)
-        print(f"wrote {n} predictions to {args.predict_output}")
+        info(f"wrote {n} predictions to {args.predict_output}")
     if cfg.model_path:
         trainer.save_checkpoint(
             cfg.model_path,
             extra={"config": {k: v for k, v in vars(args).items()}},
         )
-        print(f"checkpoint saved to {cfg.model_path}")
+        info(f"checkpoint saved to {cfg.model_path}")
     if args.export_reference_model:
         from ftrl_ffm_tpu.io.checkpoint import export_reference_model
 

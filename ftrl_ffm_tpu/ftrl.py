@@ -436,7 +436,9 @@ def select_ftrl_update(n_rows: int, row_width: int, nnz: int, mode: str = "auto"
     costs ~7*nnz*D of both.  Switch to sparse when the dense accumulators
     would be disproportionate or simply too large.
     """
-    if mode == "dense":
+    if mode in ("dense", "inplace"):
+        # "inplace" is meaningful only for the unsharded huge-table path
+        # (models/base.py); sharded/legacy callers get its dense analogue
         return dense_ftrl_update
     if mode == "sparse":
         return sparse_ftrl_update

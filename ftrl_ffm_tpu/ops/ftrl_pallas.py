@@ -31,16 +31,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pass_kernel(n_ref, z_ref, w_ref, a_ref, n_out, z_out, w_out,
                  *, alpha, beta, l1, l2):
+    # single source of truth for the math: ftrl.py (plain jnp, so it lowers
+    # inside the kernel); this body must stay equivalent to ftrl.py::
+    # dense_ftrl_update_inplace's blk() fallback
+    from ftrl_ffm_tpu.ftrl import FtrlParams, ftrl_weights
+
+    p = FtrlParams(alpha=alpha, beta=beta, l1=l1, l2=l2)
     n = n_ref[:]
     a = a_ref[:].astype(n.dtype)
     w = w_ref[:].astype(n.dtype)
     sigma = (jnp.sqrt(n + a) - jnp.sqrt(n)) / alpha
     new_z = z_ref[:] - sigma * w
     new_n = n + a
-    sgn_z = jnp.where(new_z > 0, 1.0, -1.0).astype(new_z.dtype)
-    cf = -(new_z - sgn_z * l1) / (l2 + (beta + jnp.sqrt(new_n)) / alpha)
-    cf = jnp.where(jnp.abs(new_z) <= l1, jnp.zeros_like(cf), cf)
-    new_w = jnp.where(new_n > 0, cf, w)
+    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w)
     n_out[:] = new_n
     z_out[:] = new_z
     w_out[:] = new_w.astype(w_out.dtype)

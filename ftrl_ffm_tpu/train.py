@@ -651,6 +651,9 @@ class Trainer:
             cfg.n_feats,
             cfg.n_fields,
             n_parse_threads=cfg.n_threads,
+            # no progress prints: they would interleave with the probability
+            # stream when out_path is stdout (producer thread, mid-buffer)
+            log_every=0,
         )
         total = 0
         out_cm = (

@@ -500,3 +500,34 @@ def test_mirror_off_keeps_exact_lin(tmp_path):
     h = t.train()
     assert np.any(np.asarray(t.state.lin_z) != 0.0)
     assert all(np.isfinite(h["train_loss"]))
+
+
+def test_cli_predict_stdout_stream_is_clean(tmp_path, capsys):
+    """With --predict_output -, stdout carries ONLY probabilities (one per
+    line); every informational print is rerouted to stderr."""
+    from ftrl_ffm_tpu.cli import main
+
+    data = _write_7field_ffm(tmp_path / "train.ffm")
+    rc = main([
+        "--train_data", data, "--eval_data", data,
+        "--model_type", "FFM", "--n_fields", "7", "--n_feats", "60",
+        "--n_factors", "4", "--n_epochs", "1", "--batch_size", "16",
+        "--predict_data", data, "--predict_output", "-",
+    ])
+    assert rc in (0, None)
+    cap = capsys.readouterr()
+    lines = cap.out.splitlines()
+    assert len(lines) == 64
+    for ln in lines:
+        assert 0.0 < float(ln) < 1.0
+    assert "epoch 1 train time" in cap.err  # trainer logs went to stderr
+    assert "wrote 64 predictions" in cap.err
+
+
+def test_cli_rejects_cmd_with_stdin_predict(capsys):
+    from ftrl_ffm_tpu.cli import main
+
+    rc = main(["--cmd", "true", "--file_type", "libffm", "--max_nnz", "4",
+               "--predict_data", "-"])
+    assert rc == 2
+    assert "both read stdin" in capsys.readouterr().err
