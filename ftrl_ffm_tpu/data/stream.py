@@ -133,6 +133,8 @@ class StreamReader:
             # C++ chunk parser — no Python line loop, no join/encode
             seen = 0
             for blk in self._byte_blocks():
+                if stopped.is_set():
+                    return
                 q.put(pool.submit(parse_block, blk))
                 prev, seen = seen, seen + blk.count(b"\n")
                 log_progress(seen, prev)
@@ -146,12 +148,16 @@ class StreamReader:
                     continue
                 lines.append(ln)
                 if len(lines) >= self.chunk_lines:
+                    if stopped.is_set():
+                        return
                     q.put(pool.submit(parse, lines))
                     prev, seen = seen, seen + len(lines)
                     log_progress(seen, prev)
                     lines = []
             if lines:
                 q.put(pool.submit(parse, lines))
+
+        stopped = threading.Event()
 
         def produce():
             try:
@@ -168,24 +174,41 @@ class StreamReader:
         t.start()
 
         carry: Optional[tuple] = None  # leftover rows from previous chunk
-        while True:
-            fut = q.get()
-            if fut is None:
-                break
-            chunk = fut.result()
-            arrays = (chunk.fields, chunk.feats, chunk.vals, chunk.y)
-            if carry is not None:
-                arrays = tuple(
-                    np.concatenate([c, a]) for c, a in zip(carry, arrays)
-                )
-            n = arrays[3].shape[0]
-            full = (n // self.batch_size) * self.batch_size
-            for s in range(0, full, self.batch_size):
-                fields, feats, vals, y = (a[s : s + self.batch_size] for a in arrays)
-                yield fields, feats, vals, y, np.ones(self.batch_size, np.float32)
-            carry = tuple(a[full:] for a in arrays) if full < n else None
-        t.join()
-        pool.shutdown(wait=False)
+        try:
+            while True:
+                fut = q.get()
+                if fut is None:
+                    break
+                chunk = fut.result()
+                arrays = (chunk.fields, chunk.feats, chunk.vals, chunk.y)
+                if carry is not None:
+                    arrays = tuple(
+                        np.concatenate([c, a]) for c, a in zip(carry, arrays)
+                    )
+                n = arrays[3].shape[0]
+                full = (n // self.batch_size) * self.batch_size
+                for s in range(0, full, self.batch_size):
+                    fields, feats, vals, y = (
+                        a[s : s + self.batch_size] for a in arrays
+                    )
+                    yield fields, feats, vals, y, np.ones(
+                        self.batch_size, np.float32
+                    )
+                carry = tuple(a[full:] for a in arrays) if full < n else None
+        finally:
+            # Always unwind the producer: if the consumer abandons this
+            # generator early or a parse future raised above, the producer
+            # may be blocked on q.put (queue full) — signal stop, drain the
+            # queue to unblock it, and join, so no thread/pool/file-handle
+            # leaks accumulate in long-lived processes.
+            stopped.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=30)
+            pool.shutdown(wait=False)
         if err:
             raise err[0]
         if carry is not None and carry[3].shape[0]:

@@ -133,7 +133,11 @@ def load_checkpoint(path: str) -> tuple[ModelState, dict]:
                 if not n:
                     raise ValueError(f"{path}: truncated checkpoint")
                 got += n
-            kwargs[fld["name"]] = jnp.asarray(arr)
+            # host numpy, not device arrays: the caller (Trainer init /
+            # shard_state) decides placement — an eager device put here
+            # wastes a full HBM round-trip on sharded resume and doubles
+            # peak device-0 memory at 1M-row scale
+            kwargs[fld["name"]] = arr
     return ModelState(**kwargs), meta["extra"]
 
 
@@ -147,7 +151,11 @@ def export_reference_model(path: str, bias, lin_w, vec_w=None, level: int = 3):
     raw = np.concatenate(parts).tobytes()
     with open(path, "wb") as f:
         f.write(zstandard.ZstdCompressor(level=level).compress(raw))
-    print(f"compress file size: {len(raw)} -> {os_size(path)}")
+    import sys
+
+    # stderr: stdout may be carrying the --predict_output - probability
+    # stream (cli.py's one-probability-per-line contract)
+    print(f"compress file size: {len(raw)} -> {os_size(path)}", file=sys.stderr)
 
 
 def os_size(path: str) -> int:

@@ -450,6 +450,9 @@ class Model:
         — the reference's sparsification check (utils::has_zero_weights,
         src/include/utils/utils.h:63-76, asserted after training in
         tests/test_task.cpp)."""
+        # the huge-table in-place path leaves lin tables stale (the mirror
+        # lane is authoritative) — reconcile first; a no-op elsewhere
+        state = self.sync_lin_from_mirror(state)
         # untouched rows are zero by construction here (the reference keeps a
         # nonzero gaussian init on untouched rows), so restrict to touched
         touched = state.lin_n > 0
@@ -507,7 +510,10 @@ class Model:
         is a read-out; untouched factor rows hold the init under keep_init
         semantics (zero under reference semantics), untouched linear rows 0.
 
-        Tables are sliced to the logical n_feats: under mesh_model sharding
+        REQUIRES a logical-row-order state: pass Trainer.logical_state (or
+        any unsharded state) — a mesh-sharded state's physical rows are
+        modulo-interleaved and slicing them here would export scrambled
+        weights.  Tables are sliced to the logical n_feats: under mesh_model sharding
         pad_state_tables may have zero-padded rows to a multiple of the shard
         count, and the reference blob layout (import side slices at fixed
         offsets 1:1+n_feats) must not see the padding.

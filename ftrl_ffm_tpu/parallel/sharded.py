@@ -208,10 +208,22 @@ class ShardedStep:
         n = ids_phys.shape[0]
         owner = ids_phys // rl          # sentinel Rp -> m (invalid)
         local = (ids_phys % rl).astype(jnp.int32)
-        rank = jnp.zeros((n,), jnp.int32)
-        for j in range(m):
-            mask = owner == j
-            rank = jnp.where(mask, jnp.cumsum(mask.astype(jnp.int32)) - 1, rank)
+        # rank within owner bucket, occurrence order: one stable sort by
+        # owner + a segmented position difference — O(n log n) independent
+        # of shard count (the per-shard masked-cumsum form unrolled M
+        # full-length passes, linear in mesh_model)
+        order = jnp.argsort(owner, stable=True)
+        sorted_owner = jnp.take(owner, order)
+        pos = jnp.arange(n, dtype=jnp.int32)
+        seg_start = jnp.where(
+            jnp.concatenate(
+                [jnp.ones((1,), bool), sorted_owner[1:] != sorted_owner[:-1]]
+            ),
+            pos,
+            0,
+        )
+        rank_sorted = pos - jax.lax.cummax(seg_start)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
         valid = (owner < m) & (rank < k)
         slot = jnp.where(valid, owner.astype(jnp.int32) * k + rank, m * k)
         send = (

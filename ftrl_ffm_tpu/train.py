@@ -347,6 +347,13 @@ class Trainer:
             return arrays
         import ml_dtypes
 
+        # Multi-host: narrowing decisions must be IDENTICAL on every process
+        # (each feeds its own byte-range of the global batch; a per-process
+        # data-dependent dtype would desync the SPMD avals -> divergent
+        # compilations / collective mismatch).  Only static narrowings
+        # (fields width from cfg, y int8 — labels are binarized {0,1} by the
+        # parse contract) apply there.
+        dynamic_ok = self._proc_n == 1
         fields, feats, vals, y, sample_w = arrays[:5]
         fdt = (
             np.int8
@@ -357,7 +364,7 @@ class Trainer:
         # per-field vocab ranges, so (max - min) per column is tiny even when
         # n_feats is huge; delta 65535 is reserved for the padding sentinel.
         feats_base = None
-        if self._delta_ok:
+        if self._delta_ok and dynamic_ok:
             sent = self.cfg.n_feats
             flat = feats.reshape(-1, feats.shape[-1])
             valid = flat != sent
@@ -379,19 +386,18 @@ class Trainer:
             else:
                 self._delta_ok = False
         # vals: int8 when integral, bfloat16 when exact, else f32 — never lossy
-        vals_i8 = vals.astype(np.int8)
-        if np.array_equal(vals_i8.astype(np.float32), vals):
-            vals_c = vals_i8
-        else:
-            vals_bf16 = vals.astype(ml_dtypes.bfloat16)
-            vals_c = (
-                vals_bf16
-                if np.array_equal(vals_bf16.astype(np.float32), vals)
-                else vals
-            )
-        sw_i8 = sample_w.astype(np.int8)
-        if not np.array_equal(sw_i8.astype(np.float32), sample_w):
-            sw_i8 = sample_w  # fractional sample weights: keep f32
+        vals_c, sw_i8 = vals, sample_w
+        if dynamic_ok:
+            vals_i8 = vals.astype(np.int8)
+            if np.array_equal(vals_i8.astype(np.float32), vals):
+                vals_c = vals_i8
+            else:
+                vals_bf16 = vals.astype(ml_dtypes.bfloat16)
+                if np.array_equal(vals_bf16.astype(np.float32), vals):
+                    vals_c = vals_bf16
+            sw_i8 = sample_w.astype(np.int8)
+            if not np.array_equal(sw_i8.astype(np.float32), sample_w):
+                sw_i8 = sample_w  # fractional sample weights: keep f32
         return (
             fields.astype(fdt),
             feats,
@@ -699,17 +705,27 @@ class Trainer:
         """Full-state checkpoint; sharded states stream logical row chunks
         straight off the mesh (no full-table host gather).  Multi-host: only
         the coordinator writes."""
-        if self._proc_id != 0:
-            return
         from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
 
         self._maybe_sync_lin()
+        state = self.state
+        n_shards = self._sharded.n_shards if self._sharded else 1
+        if self._proc_n > 1 and self._sharded is not None:
+            # Multi-host meshes: the coordinator cannot stream-gather rows
+            # of a non-fully-addressable table by itself — ALL processes
+            # join the allgather (unshard_state), then only process 0
+            # writes.  Single-host sharded states keep the streaming
+            # per-chunk de-interleave (no full-table materialization).
+            state = self.logical_state
+            n_shards = 1
+        if self._proc_id != 0:
+            return
         save_checkpoint(
             path,
-            self.state,
+            state,
             level=self.cfg.compress_level,
             extra=extra,
-            n_shards=self._sharded.n_shards if self._sharded else 1,
+            n_shards=n_shards,
             n_feats=self.cfg.n_feats,
         )
 
