@@ -96,8 +96,8 @@ def load_file(
     path: str,
     file_type: str,
     max_nnz: int = 0,
-    n_feats: int = 1 << 31 - 1,
-    n_fields: int = 1 << 31 - 1,
+    n_feats: int = (1 << 31) - 1,
+    n_fields: int = (1 << 31) - 1,
     n_workers: int = 1,
     byte_range: Optional[tuple[int, int]] = None,
 ) -> ArrayDataset:
@@ -105,14 +105,17 @@ def load_file(
     padded arrays, in parallel."""
     if max_nnz <= 0:
         max_nnz = sniff_max_nnz(path, file_type)
-    if byte_range is not None and byte_range[1] <= byte_range[0]:
+    parts = _partition_offsets(path, n_workers, byte_range)
+    if (
+        byte_range is not None and byte_range[1] <= byte_range[0]
+    ) or not parts:
+        # empty byte range or zero-byte file: a legal empty dataset
         return ArrayDataset(
             fields=np.zeros((0, max_nnz), np.int32),
             feats=np.zeros((0, max_nnz), np.int32),
             vals=np.zeros((0, max_nnz), np.float32),
             y=np.zeros((0,), np.float32),
         )
-    parts = _partition_offsets(path, n_workers, byte_range)
 
     def parse_range(rng: tuple[int, int]) -> ParsedChunk:
         with open(path, "rb") as f:
@@ -140,13 +143,17 @@ def batch_iterator(
     batch_size: int,
     shuffle: bool = False,
     rng: Optional[np.random.Generator] = None,
-    sentinel: int = 0,
+    *,
+    sentinel: int,
 ) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
     """Yield (fields, feats, vals, y, sample_w) numpy batches of fixed size.
 
     The batch remainder is padded with inert samples (sample_w = 0, value 0,
-    feat id = sentinel), so every step has the same shape and jit compiles
-    once.  Shuffling reproduces the reference's offline per-epoch index
+    feat id = sentinel).  `sentinel` is required and must be the dataset's
+    padding feature id (n_feats — the Batch drop-sentinel convention,
+    models/base.py::Batch); a wrong default here would count padding as
+    real id-0 occurrences in any id-sensitive path.  Fixed shapes mean
+    every step jit-compiles once.  Shuffling reproduces the reference's offline per-epoch index
     shuffle (reference: src/task/ftrl_offline.cpp:69-71).
     """
     n = ds.n

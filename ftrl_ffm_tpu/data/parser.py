@@ -154,6 +154,15 @@ def parse_text_numpy(
         colon_counts = colon_counts[keep]
         text = "\n".join(lines) + "\n"
     n = len(lines)
+    if n == 0:
+        # empty / all-blank chunk: a legal no-op, same as the native parser
+        return ParsedChunk(
+            fields=np.zeros((0, max_nnz), np.int32),
+            feats=np.zeros((0, max_nnz), np.int32),
+            vals=np.zeros((0, max_nnz), np.float32),
+            y=np.zeros((0,), np.float32),
+            nnz=np.zeros((0,), np.int32),
+        )
     nnz = colon_counts // (stride - 1) if stride == 3 else colon_counts
     if stride == 3 and np.any(colon_counts % 2):
         raise ValueError("wrong input: malformed libffm line (odd ':' count)")

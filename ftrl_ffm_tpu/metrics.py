@@ -47,7 +47,7 @@ class StreamingAUC:
     closes the AUC with the trapezoidal rank formula; error is O(1/n_bins).
     """
 
-    def __init__(self, n_bins: int = 8192):
+    def __init__(self, n_bins: int = AUC_BINS):
         self.n_bins = n_bins
         self.pos = np.zeros(n_bins, np.float64)
         self.neg = np.zeros(n_bins, np.float64)

@@ -109,14 +109,18 @@ int64_t ftrl_parse_chunk(
             while (p < line_end && is_space(*p)) ++p;
             if (p >= line_end) break;
 
+            const char* tok = p;
             long a = parse_int(p, line_end);
+            if (p == tok) return -1;  // empty integer token (e.g. ":5:1")
             if (p >= line_end || *p != ':') return -1;  // malformed token
             ++p;
             long field, feat;
             double val;
             if (stride == 3) {
                 field = a;
+                tok = p;
                 feat = parse_int(p, line_end);
+                if (p == tok) return -1;  // empty feat token
                 if (p >= line_end || *p != ':') return -1;
                 ++p;
                 val = parse_float(p, line_end);

@@ -166,7 +166,10 @@ def unshard_state(state: ModelState, n_shards: int, n_feats: int) -> ModelState:
         x = np.asarray(x)
         if is_table:
             x = deinterleave_table(x, n_shards)[:n_feats]
-        return jax.numpy.asarray(x)
+        # host numpy out: every caller (checkpoint writer, exports, tests)
+        # consumes bytes on host — a device put here would round-trip the
+        # full logical tables through device-0 HBM (~15 GB at 1M rows)
+        return x
 
     return ModelState(
         bias_n=back(state.bias_n, False),

@@ -81,3 +81,46 @@ def test_value_zero_features_dropped():
     c = parse_text("1 0:1:0 1:2:1\n", "libffm", 2, 100, 2)
     assert c.feats[0, 0] == 100  # disabled slot (sentinel)
     assert c.feats[0, 1] == 2
+
+
+# ---------------------------------------------- review-found edge regressions
+def test_numpy_parser_empty_and_blank_chunks():
+    from ftrl_ffm_tpu.data.parser import parse_text_numpy
+
+    for text in ("", "\n", "\n\n  \n"):
+        chunk = parse_text_numpy(text, "libffm", 4, 100, 4)
+        assert chunk.y.shape == (0,)
+        assert chunk.feats.shape == (0, 4)
+
+
+def test_native_parser_rejects_empty_int_tokens():
+    import pytest
+
+    from ftrl_ffm_tpu.data.parser import parse_text, parse_text_numpy
+    from ftrl_ffm_tpu.native import lib
+
+    bad = ["1 :5:0.5\n", "1 3::0.5\n"]
+    for text in bad:
+        with pytest.raises(ValueError):
+            parse_text_numpy(text, "libffm", 4, 100, 4)
+        if lib() is not None:  # native path agrees: malformed, not silent
+            with pytest.raises(ValueError):
+                parse_text(text.encode(), "libffm", 4, 100, 4)
+
+
+def test_load_file_defaults_keep_huge_ids(tmp_path):
+    from ftrl_ffm_tpu.data.loader import load_file
+
+    p = tmp_path / "d.ffm"
+    p.write_text("1 0:2000000000:1\n")  # id in [2**30, 2**31)
+    ds = load_file(str(p), "libffm", 1)
+    assert ds.feats[0, 0] == 2000000000  # not filtered by the defaults
+
+
+def test_load_file_empty_file(tmp_path):
+    from ftrl_ffm_tpu.data.loader import load_file
+
+    p = tmp_path / "empty.ffm"
+    p.write_text("")
+    ds = load_file(str(p), "libffm", max_nnz=4)
+    assert ds.n == 0
