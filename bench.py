@@ -4,7 +4,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "examples/s", "vs_baseline": N}
 
 Workload (matches the measured reference baseline config): synthetic
-Criteo-shaped libffm data — 100k samples, 39 fields, one feature per field,
+Criteo-shaped libffm data — 400k samples, 39 fields, one feature per field,
 100k feature ids — trained with FFM n_factors=16, FTRL defaults, online
 (streaming single-pass) mode, full host parse + device train pipeline.
 

@@ -81,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="narrow host->device upload dtypes (lossless only)")
     p.add_argument("--steps_per_call", type=int, default=1,
                    help="train steps per device dispatch (>1 scans)")
+    p.add_argument("--lookup_mode", default="auto",
+                   choices=("auto", "replicate", "route"),
+                   help="sharded-table lookup strategy (see Config.lookup_mode)")
+    p.add_argument("--route_capacity", type=float, default=2.0,
+                   help="route-mode per-peer capacity multiple of the "
+                        "balanced share (absorbs id skew)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis size (0 = all remaining devices)")
     p.add_argument("--mesh_model", type=int, default=1,
@@ -147,8 +153,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     kwargs = {k: v for k, v in vars(args).items() if k not in _NON_CONFIG_FLAGS}
     cfg = Config(**kwargs)
-    serve_only = bool(args.load_model or args.import_reference_model) and bool(
-        args.predict_data or cfg.eval_data
+    serve_only = (
+        bool(args.load_model or args.import_reference_model)
+        and bool(args.predict_data or cfg.eval_data)
+        and not cfg.train_data
+        and not cfg.cmd
     )
     if not cfg.train_data and not cfg.cmd and not serve_only:
         print(
@@ -235,24 +244,45 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"eval loss: {eval_loss:.4f}")
     info(f"total time: {time.perf_counter() - t0:.4f}s")
 
-    if args.predict_data:
-        n = trainer.predict_file(args.predict_data, args.predict_output)
-        info(f"wrote {n} predictions to {args.predict_output}")
+    import jax as _jax
+
+    multi = _jax.process_count() > 1
+    # checkpoint BEFORE prediction/export: a failure in the optional
+    # post-processing steps must never discard the trained state
     if cfg.model_path:
         trainer.save_checkpoint(
             cfg.model_path,
             extra={"config": {k: v for k, v in vars(args).items()}},
         )
         info(f"checkpoint saved to {cfg.model_path}")
+    if args.predict_data:
+        if multi:
+            # predict_file writes ordered per-line output and places batches
+            # single-process; a multi-host scoring pass would need every
+            # process (collective batch assembly) — run it separately with
+            # --load_model on one host
+            info(
+                "skipping --predict_data in a multi-process run; score "
+                "single-process with --load_model instead"
+            )
+        else:
+            n = trainer.predict_file(args.predict_data, args.predict_output)
+            info(f"wrote {n} predictions to {args.predict_output}")
     if args.export_reference_model:
-        from ftrl_ffm_tpu.io.checkpoint import export_reference_model
+        # logical_state allgathers on every process; only one writes
+        lstate = trainer.logical_state
+        if not multi or trainer._proc_id == 0:
+            from ftrl_ffm_tpu.io.checkpoint import export_reference_model
 
-        bias, lin_w, vec_w = trainer.model.materialize_weights(trainer.logical_state)
-        export_reference_model(
-            args.export_reference_model, float(bias), lin_w, vec_w,
-            level=cfg.compress_level,
-        )
-        print(f"reference-format model saved to {args.export_reference_model}")
+            bias, lin_w, vec_w = trainer.model.materialize_weights(lstate)
+            export_reference_model(
+                args.export_reference_model, float(bias), lin_w, vec_w,
+                level=cfg.compress_level,
+            )
+            info(
+                f"reference-format model saved to "
+                f"{args.export_reference_model}"
+            )
     return 0
 
 

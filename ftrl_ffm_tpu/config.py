@@ -116,6 +116,8 @@ class Config:
             )
         if self.factor_semantics not in ("reference", "keep_init"):
             raise ValueError(f"invalid factor_semantics: {self.factor_semantics}")
+        if self.use_pallas not in ("auto", "on", "off"):
+            raise ValueError(f"invalid use_pallas: {self.use_pallas!r}")
         if self.update_mode not in ("auto", "dense", "sparse", "inplace"):
             raise ValueError(f"invalid update_mode: {self.update_mode}")
         if self.table_dtype not in ("float32", "bfloat16"):

@@ -275,21 +275,27 @@ class Trainer:
             self.state = self.model.sync_lin_from_mirror(self.state)
 
     # ---- batch plumbing ----
-    def _device_feed(self, arrays_iter):
+    def _feed(self, items_iter, place):
         """Background-thread device upload: host->HBM transfers overlap the
         previous step's compute (the device-feed analogue of the reference's
         producer thread staying ahead of its consumers,
-        src/concurrent/pc_task.cpp:34-55)."""
+        src/concurrent/pc_task.cpp:34-55).  `place` maps one host item to
+        its device form.  Unwinds the uploader on consumer abandonment or
+        error (stop flag + queue drain + join), so no thread / device-batch
+        buffers leak in long-lived processes."""
         import queue as _queue
         import threading as _threading
 
         q: _queue.Queue = _queue.Queue(maxsize=3)
         err: list[BaseException] = []
+        stopped = _threading.Event()
 
         def upload():
             try:
-                for arrays in arrays_iter:
-                    q.put(self._device_batch(arrays))
+                for item in items_iter:
+                    if stopped.is_set():
+                        return
+                    q.put(place(item))
             except BaseException as e:
                 err.append(e)
             finally:
@@ -297,42 +303,31 @@ class Trainer:
 
         t = _threading.Thread(target=upload, daemon=True)
         t.start()
-        while True:
-            b = q.get()
-            if b is None:
-                break
-            yield b
-        t.join()
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    break
+                yield b
+        finally:
+            stopped.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except _queue.Empty:
+                    break
+            t.join(timeout=30)
         if err:
             raise err[0]
+
+    def _device_feed(self, arrays_iter):
+        return self._feed(arrays_iter, self._device_batch)
 
     def _device_feed_multi(self, groups_iter):
         """Like _device_feed but for [S, ...]-stacked batch groups."""
-        import queue as _queue
-        import threading as _threading
-
-        q: _queue.Queue = _queue.Queue(maxsize=3)
-        err: list[BaseException] = []
-
-        def upload():
-            try:
-                for arrays, real_n in groups_iter:
-                    q.put((self._device_group(arrays), real_n))
-            except BaseException as e:
-                err.append(e)
-            finally:
-                q.put(None)
-
-        t = _threading.Thread(target=upload, daemon=True)
-        t.start()
-        while True:
-            b = q.get()
-            if b is None:
-                break
-            yield b
-        t.join()
-        if err:
-            raise err[0]
+        return self._feed(
+            groups_iter, lambda gr: (self._device_group(gr[0]), gr[1])
+        )
 
     def _compact(self, arrays):
         """Narrow upload dtypes (see Config.compact_transfer); the jitted
@@ -578,7 +573,12 @@ class Trainer:
     # ---- epochs ----
     def train_epoch(self, epoch_rng: Optional[np.random.Generator] = None) -> float:
         if epoch_rng is None:
-            epoch_rng = np.random.default_rng(self.cfg.seed)
+            # persistent: direct repeated train_epoch() calls must not
+            # re-seed per call, or offline shuffles repeat the same
+            # permutation every epoch (Trainer.train threads its own rng)
+            if not hasattr(self, "_epoch_rng"):
+                self._epoch_rng = np.random.default_rng(self.cfg.seed)
+            epoch_rng = self._epoch_rng
         sums = []
         save_every = self.cfg.save_every
         s = self._spc

@@ -140,10 +140,14 @@ def transform(args):
                 scale = (hi - lo) or 1.0
                 tv = (tv - lo) / scale
                 ev = (ev - lo) / scale  # train-fit transform, like the ref
+            # negatives always drawn from the TRAIN range (train-fit
+            # semantics, like the normalize transform above and the
+            # reference's data prep)
+            t_lo, t_hi = tv.min(), tv.max()
             for split, v in (("train", tv), ("eval", ev)):
                 n_neg = len(v) * args.num_neg if args.neg_sampling and args.num_neg > 0 else 0
                 if n_neg:
-                    neg = rng.random(n_neg) * (v.max() - v.min()) + v.min()
+                    neg = rng.random(n_neg) * (t_hi - t_lo) + t_lo
                     v = np.concatenate([v, neg])
                 tok = np.char.add(f"{offset}:", np.round(v, 4).astype(str))
                 if args.ffm:
