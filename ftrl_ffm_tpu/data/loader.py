@@ -29,6 +29,24 @@ class ArrayDataset(NamedTuple):
         return self.y.shape[0]
 
 
+def _align_cut(f, pos: int) -> int:
+    """Smallest line-start >= pos.
+
+    A bare seek+readline would consume a WHOLE line when pos already sits
+    on a line start, shifting that line to the previous shard — for
+    equal-width inputs that makes the multi-host split uneven (e.g. 129/127
+    of 256), so processes disagree on batch boundaries and the run stops
+    being step-for-step identical to the single-process one.  Checking the
+    byte before pos keeps exact-boundary cuts exact."""
+    if pos <= 0:
+        return 0
+    f.seek(pos - 1)
+    if f.read(1) == b"\n":
+        return pos
+    f.readline()
+    return f.tell()
+
+
 def _partition_offsets(
     path: str, n_parts: int, byte_range: Optional[tuple[int, int]] = None
 ) -> list[tuple[int, int]]:
@@ -40,9 +58,7 @@ def _partition_offsets(
     cuts = [lo]
     with open(path, "rb") as f:
         for i in range(1, n_parts):
-            f.seek(approx[i])
-            f.readline()  # advance to next line boundary
-            cuts.append(min(f.tell(), hi))
+            cuts.append(min(_align_cut(f, approx[i]), hi))
     cuts.append(hi)
     cuts = sorted(set(cuts))
     return [(a, b) for a, b in zip(cuts[:-1], cuts[1:]) if b > a]
@@ -61,9 +77,7 @@ def process_byte_range(path: str, shard_index: int, shard_count: int) -> tuple[i
     cuts = [0]
     with open(path, "rb") as f:
         for i in range(1, shard_count):
-            f.seek(approx[i])
-            f.readline()
-            cuts.append(min(f.tell(), size))
+            cuts.append(min(_align_cut(f, approx[i]), size))
     cuts.append(size)
     # monotone, possibly-colliding cuts: collapsed shards read nothing
     for i in range(1, len(cuts)):

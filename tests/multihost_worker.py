@@ -1,7 +1,7 @@
 """Subprocess worker for the 2-process jax.distributed CPU test.
 
 Usage: python tests/multihost_worker.py <coordinator> <nprocs> <pid> <data>
-           <out.json> [mesh_model] [lookup_mode]
+           <out.json> [mesh_model] [lookup_mode] [ckpt_path]
 
 Each process initializes jax.distributed, trains the same config (streaming
 its own byte-range of the file — ftrl_ffm_tpu.data.loader.process_byte_range)
@@ -18,6 +18,7 @@ def main() -> None:
     coord, nprocs, pid, data, out = sys.argv[1:6]
     mesh_model = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     lookup_mode = sys.argv[7] if len(sys.argv) > 7 else "auto"
+    ckpt_path = sys.argv[8] if len(sys.argv) > 8 else ""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -38,7 +39,7 @@ def main() -> None:
         n_feats=50,
         n_factors=4,
         batch_size=256,
-        n_epochs=2,
+        n_epochs=int(__import__("os").environ.get("MH_EPOCHS", 2)),
         online=True,
         # mesh_data=0: span ALL global devices (both processes) on the data
         # axis — make_mesh resolves 0 to device_count // mesh_model
@@ -48,6 +49,15 @@ def main() -> None:
     )
     tr = Trainer(cfg)
     hist = tr.train()
+    if ckpt_path:
+        # multi-host checkpoint: every process joins the state allgather,
+        # only the coordinator writes (train.py::save_checkpoint)
+        tr.save_checkpoint(ckpt_path)
+        import numpy as np
+
+        st = tr.logical_state
+        hist["lin_z"] = np.asarray(st.lin_z).tolist()
+        hist["lin_n"] = np.asarray(st.lin_n).tolist()
     with open(out, "w") as f:
         json.dump(
             {

@@ -131,6 +131,43 @@ def test_two_process_distributed_matches_single(tmp_path):
         )
 
 
+def test_two_process_sharded_checkpoint(tmp_path):
+    """Multi-host checkpointing on a model-sharded mesh: all processes join
+    the state allgather, the coordinator alone writes, and the saved tables
+    equal a single-process run's (the mesh-independent checkpoint
+    contract)."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    ckpt = str(tmp_path / "mh.ckpt")
+    _run_two_processes(tmp_path, data, extra_args=(2, "route", ckpt))
+    assert os.path.exists(ckpt)
+
+    cfg = Config(
+        train_data=data, eval_data=data, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=256, n_epochs=2, online=True,
+    )
+    ref = Trainer(cfg)
+    ref.train()
+    state, _ = load_checkpoint(ckpt)
+    assert state.lin_z.shape == (50,)
+    # reassociation tolerance: sharded psum/all_to_all sums accumulate f32
+    # z in a different order than the single-device scatter (measured rel
+    # ~3e-4 on near-cancelling entries); the target here is the allgather/
+    # deinterleave SAVE path — gross structural errors (wrong rows, stale
+    # shards, physical order, uneven byte splits changing batch boundaries)
+    # would be orders of magnitude off
+    for name in ("lin_z", "lin_n", "vec_z", "vec_n", "vec_w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(state, name)),
+            np.asarray(getattr(ref.state, name)),
+            rtol=1e-3, atol=1e-5, err_msg=name,
+        )
+    assert int(state.step) == int(ref.state.step)
+
+
 def test_two_process_route_sharded_matches_single(tmp_path):
     """The full production shape executed for real: 2 processes, tables
     row-sharded over mesh_model=2 with all_to_all routed lookups (a
