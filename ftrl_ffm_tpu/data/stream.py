@@ -19,6 +19,7 @@ from __future__ import annotations
 import concurrent.futures as cf
 import os
 import queue
+import sys
 import threading
 from typing import IO, Iterator, Optional
 
@@ -158,6 +159,13 @@ class StreamReader:
                 q.put(pool.submit(parse, lines))
 
         stopped = threading.Event()
+        # locals: module globals (queue, sys) are cleared when this
+        # generator is GC'd during interpreter shutdown; stdlib queue can't
+        # even raise Empty then, so the unwind is skipped entirely there
+        # (daemon threads die with the process — the leak concern is live
+        # processes only)
+        empty_exc = queue.Empty
+        finalizing = sys.is_finalizing
 
         def produce():
             try:
@@ -202,13 +210,14 @@ class StreamReader:
             # queue to unblock it, and join, so no thread/pool/file-handle
             # leaks accumulate in long-lived processes.
             stopped.set()
-            while True:
-                try:
-                    q.get_nowait()
-                except queue.Empty:
-                    break
-            t.join(timeout=30)
-            pool.shutdown(wait=False)
+            if not finalizing():
+                while True:
+                    try:
+                        q.get_nowait()
+                    except empty_exc:
+                        break
+                t.join(timeout=30)
+                pool.shutdown(wait=False)
         if err:
             raise err[0]
         if carry is not None and carry[3].shape[0]:

