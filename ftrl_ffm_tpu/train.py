@@ -321,12 +321,15 @@ class Trainer:
             raise err[0]
 
     def _device_feed(self, arrays_iter):
+        # single upload stage: splitting compact and device_put into two
+        # pipelined threads was measured WORSE on this 4-core host (LR 527k
+        # -> 359k ex/s — GIL/context-switch overhead beats the overlap win)
         return self._feed(arrays_iter, self._device_batch)
 
     def _device_feed_multi(self, groups_iter):
         """Like _device_feed but for [S, ...]-stacked batch groups."""
         return self._feed(
-            groups_iter, lambda gr: (self._device_group(gr[0]), gr[1])
+            groups_iter, lambda gr: (self._device_batch(gr[0]), gr[1])
         )
 
     def _compact(self, arrays):
@@ -415,17 +418,16 @@ class Trainer:
             feats_base,
         )
 
-    def _device_batch(self, arrays) -> Batch:
-        arrays = self._compact(arrays)
+    def _place_batch(self, arrays) -> Batch:
+        """Upload one already-compacted batch ([B, ...] or [S, B, ...])."""
         if self._sharded is not None:
+            if arrays[0].ndim == 3:
+                return self._sharded.place_batch_multi(arrays)
             return self._sharded.place_batch(arrays)
         return Batch(*(None if a is None else jnp.asarray(a) for a in arrays))
 
-    def _device_group(self, arrays) -> Batch:
-        arrays = self._compact(arrays)
-        if self._sharded is not None:
-            return self._sharded.place_batch_multi(arrays)
-        return Batch(*(None if a is None else jnp.asarray(a) for a in arrays))
+    def _device_batch(self, arrays) -> Batch:
+        return self._place_batch(self._compact(arrays))
 
     def _grouped(self, arrays_iter, s: int):
         """Stack batches into [S, ...] groups; the remainder group is padded
