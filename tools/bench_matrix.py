@@ -109,6 +109,17 @@ def run_row(row: str) -> dict:
 
 def main() -> None:
     rows = sys.argv[1:] or ["ffm", "fm", "lr"]
+    if len(rows) > 1:
+        # one subprocess per row: rows contaminate each other in-process
+        # (lingering device state + CPU contention measured eval at 184k
+        # in sequence vs 548k alone)
+        import subprocess
+
+        for row in rows:
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), row], check=True
+            )
+        return
     for row in rows:
         print(json.dumps(run_row(row)), flush=True)
 
