@@ -284,11 +284,16 @@ class Trainer:
         error (stop flag + queue drain + join), so no thread / device-batch
         buffers leak in long-lived processes."""
         import queue as _queue
+        import sys as _sys
         import threading as _threading
 
         q: _queue.Queue = _queue.Queue(maxsize=3)
         err: list[BaseException] = []
         stopped = _threading.Event()
+        # locals survive interpreter shutdown (module globals don't); the
+        # unwind is skipped there — same guard as stream.py::batches
+        empty_exc = _queue.Empty
+        finalizing = _sys.is_finalizing
 
         def upload():
             try:
@@ -311,12 +316,13 @@ class Trainer:
                 yield b
         finally:
             stopped.set()
-            while True:
-                try:
-                    q.get_nowait()
-                except _queue.Empty:
-                    break
-            t.join(timeout=30)
+            if not finalizing():
+                while True:
+                    try:
+                        q.get_nowait()
+                    except empty_exc:
+                        break
+                t.join(timeout=30)
         if err:
             raise err[0]
 

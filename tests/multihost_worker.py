@@ -39,7 +39,7 @@ def main() -> None:
         n_feats=50,
         n_factors=4,
         batch_size=256,
-        n_epochs=int(__import__("os").environ.get("MH_EPOCHS", 2)),
+        n_epochs=2,
         online=True,
         # mesh_data=0: span ALL global devices (both processes) on the data
         # axis — make_mesh resolves 0 to device_count // mesh_model
@@ -53,11 +53,6 @@ def main() -> None:
         # multi-host checkpoint: every process joins the state allgather,
         # only the coordinator writes (train.py::save_checkpoint)
         tr.save_checkpoint(ckpt_path)
-        import numpy as np
-
-        st = tr.logical_state
-        hist["lin_z"] = np.asarray(st.lin_z).tolist()
-        hist["lin_n"] = np.asarray(st.lin_n).tolist()
     with open(out, "w") as f:
         json.dump(
             {

@@ -151,6 +151,7 @@ def test_two_process_sharded_checkpoint(tmp_path):
     )
     ref = Trainer(cfg)
     ref.train()
+    ref_state = ref.logical_state  # the documented export boundary
     state, _ = load_checkpoint(ckpt)
     assert state.lin_z.shape == (50,)
     # reassociation tolerance: sharded psum/all_to_all sums accumulate f32
@@ -162,7 +163,7 @@ def test_two_process_sharded_checkpoint(tmp_path):
     for name in ("lin_z", "lin_n", "vec_z", "vec_n", "vec_w"):
         np.testing.assert_allclose(
             np.asarray(getattr(state, name)),
-            np.asarray(getattr(ref.state, name)),
+            np.asarray(getattr(ref_state, name)),
             rtol=1e-3, atol=1e-5, err_msg=name,
         )
     assert int(state.step) == int(ref.state.step)
