@@ -305,3 +305,47 @@ def test_closed_form_pass_pallas_matches_fori_loop():
             np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-7,
             err_msg=f"closed-form pass mismatch in {name}",
         )
+
+
+@pytest.mark.parametrize(
+    "b,f,c,k,aug",
+    [
+        (24, 3, 7, 16, 6),    # aug on the dead top field (fields < c-1)
+        (8, 8, 8, 4, -1),     # F == C, tiny K
+        (40, 6, 5, 32, -1),   # batch not a power of two, K=32
+        (16, 10, 40, 16, 39), # flagship-like padded row, dead lane 39
+    ],
+)
+def test_fused_kernel_shape_sweep(b, f, c, k, aug):
+    """Kernel == XLA across block-heuristic edge shapes: odd batches,
+    F != C, padded rows with the aug lane, wide K."""
+    if aug >= c * k:
+        aug = -1
+    rng = np.random.default_rng(1)
+    e = c * k
+    v = jnp.asarray(rng.normal(size=(b, f, e)).astype(np.float32) * 0.1)
+    # fields < c-1 so the aug lane (if any) is genuinely dead
+    fmax = max(1, c - 1)
+    fields = jnp.asarray(rng.integers(0, fmax, (b, f)).astype(np.int32))
+    vals = jnp.asarray(rng.random((b, f)).astype(np.float32))
+    lin = jnp.asarray(rng.normal(size=(b,)).astype(np.float32) * 0.1)
+    y = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
+    sw = jnp.ones((b,), jnp.float32)
+
+    logits_ref, dv = ffm_logits_and_grads(
+        v, fields, vals, lin, c, k, True, grad_lane=aug
+    )
+    gs = (jax.nn.sigmoid(logits_ref) - y) * sw
+    g_ref = gs[:, None, None] * dv
+
+    logits, gg2 = ffm_fused_logits_grads(
+        v.reshape(b * f, e), fields, vals, lin, y, sw, c, k,
+        compute_grads=True, block_b=8, interpret=True, aug_lane=aug,
+    )
+    g = gg2[:, :e].reshape(b, f, e)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(logits_ref), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+    )
