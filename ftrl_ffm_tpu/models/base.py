@@ -445,18 +445,35 @@ class Model:
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         return jnp.sum(per_loss), jnp.sum(batch.sample_w), logits
 
-    def has_zero_weights(self, state: ModelState) -> bool:
-        """True if L1 has produced exact zeros among *touched* linear weights
-        — the reference's sparsification check (utils::has_zero_weights,
-        src/include/utils/utils.h:63-76, asserted after training in
-        tests/test_task.cpp)."""
+    def has_zero_weights(self, state: ModelState, table: str = "linear") -> bool:
+        """True if L1 has produced exact zeros among *touched* weights of
+        `table` ("linear", "factor", or "any") — the reference's
+        sparsification check.  utils::has_zero_weights accepts any weights
+        vector (src/include/utils/utils.h:63-76); the reference only ever
+        feeds it lin_w (src/task/ftrl_online.cpp:96-110, asserted after
+        training in tests/test_task.cpp), but the factor tables are equally
+        checkable here."""
         # the huge-table in-place path leaves lin tables stale (the mirror
         # lane is authoritative) — reconcile first; a no-op elsewhere
         state = self.sync_lin_from_mirror(state)
-        # untouched rows are zero by construction here (the reference keeps a
-        # nonzero gaussian init on untouched rows), so restrict to touched
-        touched = state.lin_n > 0
-        return bool(jnp.any(jnp.logical_and(touched, state.lin_w == 0.0)))
+
+        def zeros_among_touched(n_tab, w_tab):
+            # untouched rows are zero by construction here (the reference
+            # keeps a nonzero gaussian init on untouched rows), so restrict
+            # to touched coordinates (n > 0 after any gradient)
+            touched = n_tab > 0
+            return bool(jnp.any(jnp.logical_and(touched, w_tab == 0.0)))
+
+        if table not in ("linear", "factor", "any"):
+            raise ValueError(f"unknown table {table!r}")
+        lin = table in ("linear", "any") and zeros_among_touched(
+            state.lin_n, state.lin_w
+        )
+        if lin or table == "linear":
+            return lin
+        if state.vec_n is None:
+            return False
+        return zeros_among_touched(state.vec_n, state.vec_w)
 
     # ---- import (reference weights -> trainable state) ----
     def _import_vec_layout(self, vec_w):

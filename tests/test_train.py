@@ -191,6 +191,26 @@ def test_has_zero_weights_after_training(tmp_path):
     tr = Trainer(cfg)
     tr.train()
     assert tr.model.has_zero_weights(tr.state)
+    # generality parity with utils::has_zero_weights (utils.h:63-76): the
+    # factor tables are checkable too.  L1=0.15 with these alphas also
+    # sparsifies some factor coordinates within 2 epochs.
+    assert tr.model.has_zero_weights(tr.state, table="factor")
+    assert tr.model.has_zero_weights(tr.state, table="any")
+    with pytest.raises(ValueError):
+        tr.model.has_zero_weights(tr.state, table="bogus")
+
+
+def test_has_zero_weights_factor_lr_is_false(tmp_path):
+    """LR has no factor tables: the factor check is False, not an error."""
+    path = str(tmp_path / "t.svm")
+    with open(path, "w") as f:
+        for i in range(32):
+            f.write(f"{i % 2} {i % 7}:1 {7 + i % 5}:1\n")
+    cfg = Config(train_data=path, model_type="LR", n_feats=16, batch_size=16,
+                 n_epochs=1)
+    tr = Trainer(cfg)
+    tr.train()
+    assert tr.model.has_zero_weights(tr.state, table="factor") is False
 
 
 def test_profile_dir_writes_trace(tmp_path):
