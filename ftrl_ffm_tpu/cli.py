@@ -86,7 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sharded-table lookup strategy (see Config.lookup_mode)")
     p.add_argument("--route_capacity", type=float, default=2.0,
                    help="route-mode per-peer capacity multiple of the "
-                        "balanced share (absorbs id skew)")
+                        "balanced share (unique-id routed: skew-immune)")
+    p.add_argument("--route_overflow_policy", default="warn",
+                   choices=("warn", "error"),
+                   help="on routed-bucket overflow: warn + count, or raise "
+                        "at epoch end (exactness guarantee)")
     p.add_argument("--mesh_data", type=int, default=1,
                    help="data-parallel mesh axis size (0 = all remaining devices)")
     p.add_argument("--mesh_model", type=int, default=1,

@@ -100,9 +100,19 @@ class Config:
     #   "auto": route when mesh_model > 1 and shapes divide, else replicate.
     lookup_mode: str = "auto"
     # Fixed per-peer routing capacity as a multiple of the balanced share
-    # (nnz_local / mesh_model).  2.0 absorbs heavy id skew; overflowing
-    # occurrences are dropped (gradient + lookup) with a jax.debug warning.
+    # (nnz_local / mesh_model).  Routing is by unique id (duplicates share a
+    # slot — parallel/sharded.py::_route), so overflow requires more
+    # DISTINCT ids owned by one peer than route_k: impossible for id skew,
+    # only for adversarial id sets concentrated on one shard (ids ≡ r mod
+    # mesh_model).  Overflowing ids' occurrences are dropped (gradient +
+    # lookup), counted per epoch (history["route_overflow"]), and warned.
     route_capacity: float = 2.0
+    # What to do when routed occurrences are dropped by bucket capacity:
+    #   "warn"  — per-step jax.debug warning + per-epoch counter/log line.
+    #   "error" — additionally raise at the end of the offending epoch (the
+    #     reference's unconditional per-occurrence updates make any drop an
+    #     exactness violation; src/model/ftrl_model.cpp:66-77).
+    route_overflow_policy: str = "warn"
     eval_auc: bool = True            # new capability vs reference (log-loss only)
     shuffle: bool = True             # offline mode epoch shuffle
     save_every: int = 0              # checkpoint every N steps (0 = only at end)
@@ -126,6 +136,10 @@ class Config:
             raise ValueError(f"invalid acc_dtype: {self.acc_dtype}")
         if self.lookup_mode not in ("auto", "replicate", "route"):
             raise ValueError(f"invalid lookup_mode: {self.lookup_mode}")
+        if self.route_overflow_policy not in ("warn", "error"):
+            raise ValueError(
+                f"invalid route_overflow_policy: {self.route_overflow_policy}"
+            )
 
     # Padded field count for FFM factor rows.  The interaction math treats
     # the model as having field_pad fields, of which fields

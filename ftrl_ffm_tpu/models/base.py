@@ -84,6 +84,9 @@ class TrainOut(NamedTuple):
                             # like reference src/task/ftrl_online.cpp:70-80)
     loss_sum: jax.Array     # scalar: sum of per-sample log-loss (masked)
     count: jax.Array        # scalar: number of real samples
+    route_overflow: Optional[jax.Array] = None  # scalar int32: occurrences
+                            # dropped by routed-lookup capacity this step
+                            # (route mode only; None elsewhere)
 
 
 def widen_batch(b: Batch) -> Batch:

@@ -21,9 +21,13 @@ delivers id requests to owners, owners gather local rows, a second
 `all_to_all` returns them; the update path routes the combined (g || g^2)
 payloads to owners through the same buckets, then each owner scatter-adds
 into its local accumulator.  Per-device traffic and gather work are
-O(nnz * E / n_devices) — independent of mesh_model.  Occurrences overflowing
-the bucket capacity are dropped (lookup reads 0, gradient discarded) with a
-jax.debug warning; route_capacity=2 absorbs heavy skew.
+O(nnz * E / n_devices) — independent of mesh_model.  Routing is by UNIQUE
+id (all occurrences of an id share a slot; duplicates aggregate before the
+wire — see _route), so id skew cannot overflow the buckets; the residual
+adversarial overflow case (more DISTINCT ids per owner than route_k) drops
+those ids' occurrences, is counted per step (TrainOut.route_overflow,
+surfaced in Trainer history), warned via jax.debug, and optionally raised
+(Config.route_overflow_policy).
 
 The update in both modes is the dense-accumulator form: scatter-add combined
 (g, g^2) into local-table-shaped accumulators, `psum` over "data" completes
@@ -68,7 +72,8 @@ from ftrl_ffm_tpu.parallel.mesh import interleave_ids
 class Routing(NamedTuple):
     """Per-step id routing tables (route mode), shared by lookup and update."""
 
-    slot: jax.Array      # [n] int32: send-buffer slot per occurrence (M*K = dropped)
+    slot: jax.Array      # [n] int32: send-buffer slot per occurrence (M*K =
+                         # dropped); occurrences of the same id share a slot
     valid: jax.Array     # [n] bool: routed successfully
     recv: jax.Array      # [M*K] int32: local rows requested of this shard (Rl = none)
     overflow: jax.Array  # scalar int32: occurrences dropped by capacity
@@ -115,7 +120,10 @@ class ShardedStep:
 
         sspecs = state_pspecs(state)
         bspecs = Batch(*batch_pspecs(self._batch_axes))
-        train_out_specs = TrainOut(sspecs, P(self._batch_axes), P(), P())
+        of_spec = P() if self.mode == "route" else None
+        train_out_specs = TrainOut(
+            sspecs, P(self._batch_axes), P(), P(), of_spec
+        )
         self.train_step = jax.jit(
             shard_map(
                 self._train_step,
@@ -146,7 +154,7 @@ class ShardedStep:
                 self._train_multi,
                 mesh=mesh,
                 in_specs=(sspecs, multi_bspecs),
-                out_specs=(sspecs, P(), P()),
+                out_specs=(sspecs, P(), P(), of_spec),
                 check_vma=False,
             ),
             donate_argnums=0,
@@ -201,40 +209,51 @@ class ShardedStep:
     def _route(self, ids_phys: jax.Array) -> Routing:
         """Bucket local physical ids by owner shard, exchange over "model".
 
-        Deterministic: ranks within a bucket follow occurrence order
-        (cumsum), so duplicate ids occupy distinct slots and their gradients
-        all arrive at the owner."""
+        Routes UNIQUE ids: every occurrence of an id shares ONE send slot
+        (rank = the id's index among this device's distinct ids per owner,
+        computed from one sorted pass).  The payload scatter
+        (_table_update_routed's .at[slot].add) aggregates duplicates into
+        the slot before the wire, and the returned row is read by all its
+        occurrences — so a hot id consumes one capacity slot regardless of
+        multiplicity, and heavy-tailed (Zipf) id skew CANNOT overflow the
+        buckets: overflow now requires > route_k DISTINCT ids hashing to
+        one peer, which modulo interleaving makes near-impossible at the
+        default route_capacity (only adversarial id sets ≡ r mod M reach
+        it; those are counted, warned, and raised under
+        Config.route_overflow_policy="error").  This matches the
+        reference's unconditional per-occurrence updates
+        (src/model/ftrl_model.cpp:66-77) on any realistic data, and beats
+        the occurrence-slot form on traffic (duplicates collapse)."""
         m, rl, k = self.n_shards, self.rows_local, self.route_k
         n = ids_phys.shape[0]
         owner = ids_phys // rl          # sentinel Rp -> m (invalid)
         local = (ids_phys % rl).astype(jnp.int32)
-        # rank within owner bucket, occurrence order: one stable sort by
-        # owner + a segmented position difference — O(n log n) independent
-        # of shard count (the per-shard masked-cumsum form unrolled M
-        # full-length passes, linear in mesh_model)
-        order = jnp.argsort(owner, stable=True)
-        sorted_owner = jnp.take(owner, order)
-        pos = jnp.arange(n, dtype=jnp.int32)
-        seg_start = jnp.where(
-            jnp.concatenate(
-                [jnp.ones((1,), bool), sorted_owner[1:] != sorted_owner[:-1]]
-            ),
-            pos,
-            0,
+        order = jnp.argsort(ids_phys)   # id-sorted => owner-sorted too
+        sid = jnp.take(ids_phys, order)
+        sowner = jnp.take(owner, order)
+        one = jnp.ones((1,), bool)
+        id_start = jnp.concatenate([one, sid[1:] != sid[:-1]])
+        owner_start = jnp.concatenate([one, sowner[1:] != sowner[:-1]])
+        uniq_sofar = jnp.cumsum(id_start.astype(jnp.int32))  # 1-based
+        # distinct ids preceding this owner's first run, propagated by
+        # cummax (uniq_sofar - 1 is nondecreasing; owner_start ⊆ id_start)
+        base = jax.lax.cummax(jnp.where(owner_start, uniq_sofar - 1, 0))
+        rank_sorted = uniq_sofar - 1 - base  # unique-rank within owner
+        valid_sorted = (sowner < m) & (rank_sorted < k)
+        slot_sorted = jnp.where(
+            valid_sorted, sowner.astype(jnp.int32) * k + rank_sorted, m * k
         )
-        rank_sorted = pos - jax.lax.cummax(seg_start)
-        rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
-        valid = (owner < m) & (rank < k)
-        slot = jnp.where(valid, owner.astype(jnp.int32) * k + rank, m * k)
+        slot = jnp.zeros((n,), jnp.int32).at[order].set(slot_sorted)
+        valid = slot < m * k
         send = (
             jnp.full((m * k,), rl, jnp.int32)
             .at[slot]
-            .set(local, mode="drop")
+            .set(local, mode="drop")  # duplicates write the same local id
         )
         recv = jax.lax.all_to_all(
             send.reshape(m, k), "model", 0, 0, tiled=True
         ).reshape(-1)
-        overflow = jnp.sum(((owner < m) & (rank >= k)).astype(jnp.int32))
+        overflow = jnp.sum(((sowner < m) & ~valid_sorted).astype(jnp.int32))
         return Routing(slot=slot, valid=valid, recv=recv, overflow=overflow)
 
     def _routed_rows(self, tab, rt: Routing):
@@ -482,7 +501,10 @@ class ShardedStep:
         )
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         loss_sum = jax.lax.psum(jnp.sum(per_loss), self._batch_axes)
-        return TrainOut(new_state, logits, loss_sum, count)
+        overflow = (
+            jax.lax.psum(rt.overflow, self._batch_axes) if rt is not None else None
+        )
+        return TrainOut(new_state, logits, loss_sum, count, overflow)
 
     def _eval_logits(self, state: ModelState, batch: Batch):
         ids_phys = self._phys_ids(batch.feats)
@@ -516,12 +538,15 @@ class ShardedStep:
 
     # ---- multi-step (scan) bodies ----
     def _train_multi(self, state: ModelState, batches: Batch):
+        route = self.mode == "route"
+
         def body(st, b):
             out = self._train_step(st, b)
-            return out.state, (out.loss_sum, out.count)
+            of = out.route_overflow if route else jnp.zeros((), jnp.int32)
+            return out.state, (out.loss_sum, out.count, of)
 
-        state, (ls, ct) = jax.lax.scan(body, state, batches)
-        return state, jnp.sum(ls), jnp.sum(ct)
+        state, (ls, ct, of) = jax.lax.scan(body, state, batches)
+        return state, jnp.sum(ls), jnp.sum(ct), jnp.sum(of) if route else None
 
     def _eval_multi(self, state: ModelState, batches: Batch):
         from ftrl_ffm_tpu.metrics import AUC_BINS as bins, StreamingAUC

@@ -151,7 +151,7 @@ class Trainer:
                 **(
                     {
                         "in_shardings": (fmt, auto),
-                        "out_shardings": (fmt, auto, auto),
+                        "out_shardings": (fmt, auto, auto, None),
                     }
                     if fmt is not None
                     else {}
@@ -205,7 +205,7 @@ class Trainer:
             return out.state, (out.loss_sum, out.count)
 
         state, (ls, ct) = jax.lax.scan(body, state, batches)
-        return state, jnp.sum(ls), jnp.sum(ct)
+        return state, jnp.sum(ls), jnp.sum(ct), None
 
     def _multi_eval_impl(self, state: ModelState, batches: Batch):
         def body(carry, b):
@@ -609,18 +609,21 @@ class Trainer:
                 if step_now // save_every > step_prev // save_every:
                     self._save_mid_checkpoint(step_now)
 
+        overflows = []
         if s > 1:
             n_steps = 0
             groups = self._grouped(self._train_batches(epoch_rng), s)
             for group, real_n in self._device_feed_multi(groups):
                 try:
-                    self.state, ls, ct = self._train_multi(self.state, group)
+                    self.state, ls, ct, of = self._train_multi(self.state, group)
                 except ValueError as e:
                     if not self._is_layout_mismatch(e):
                         raise
                     self._drop_layout_pins()
-                    self.state, ls, ct = self._train_multi(self.state, group)
+                    self.state, ls, ct, of = self._train_multi(self.state, group)
                 sums.append((ls, ct))
+                if of is not None:
+                    overflows.append(of)
                 prev, n_steps = n_steps, n_steps + real_n
                 maybe_save(self._steps_done + n_steps, self._steps_done + prev)
             self._steps_done += n_steps
@@ -635,17 +638,26 @@ class Trainer:
                     out = self._train_step(self.state, batch)
                 self.state = out.state
                 sums.append((out.loss_sum, out.count))
+                if out.route_overflow is not None:
+                    overflows.append(out.route_overflow)
                 maybe_save(self._steps_done + len(sums),
                            self._steps_done + len(sums) - 1)
             self._steps_done += len(sums)
         if not sums:
+            self._epoch_route_overflow = 0
             return float("nan")
         # One device-side reduction + a single host readback: per-batch
         # float() readbacks serialize against the dispatch queue.
         loss_sum = jnp.sum(jnp.stack([s for s, _ in sums]))
         count = jnp.sum(jnp.stack([c for _, c in sums]))
+        of_sum = jnp.sum(jnp.stack(overflows)) if overflows else None
+        loss_sum, count, of_sum = jax.device_get((loss_sum, count, of_sum))
+        # route-mode epoch drop counter: exactness observability (VERDICT:
+        # the reference updates every occurrence unconditionally,
+        # src/model/ftrl_model.cpp:66-77 — any drop must be loud)
+        self._epoch_route_overflow = int(of_sum) if of_sum is not None else 0
         acc = LossAccumulator()
-        acc.update(*jax.device_get((loss_sum, count)))
+        acc.update(loss_sum, count)
         return acc.mean
 
     def predict_file(self, data_path: str, out_path: str) -> int:
@@ -799,7 +811,12 @@ class Trainer:
         TPU-native upgrade of the reference's steady-clock timers
         (src/include/utils/utils.h:89-104)."""
         cfg = self.cfg
-        history = {"train_loss": [], "eval_loss": [], "eval_auc": []}
+        history = {
+            "train_loss": [],
+            "eval_loss": [],
+            "eval_auc": [],
+            "route_overflow": [],
+        }
         rng = np.random.default_rng(cfg.seed)
         # multi-host: only the coordinator prints the reference-format lines
         log = print if self._proc_id == 0 else (lambda *a, **k: None)
@@ -817,6 +834,23 @@ class Trainer:
                 f"epoch {epoch} train time: {dt:.4f}s, train loss: {train_loss:.4f}"
             )
             history["train_loss"].append(train_loss)
+            overflow = getattr(self, "_epoch_route_overflow", 0)
+            history["route_overflow"].append(overflow)
+            if overflow:
+                # the reference updates every occurrence of every sample
+                # unconditionally (src/model/ftrl_model.cpp:66-77) — dropped
+                # occurrences are an exactness violation and must be loud
+                log(
+                    f"epoch {epoch} WARNING: routed lookup dropped "
+                    f"{overflow} occurrences (bucket capacity); raise "
+                    f"--route_capacity for exact updates"
+                )
+                if cfg.route_overflow_policy == "error":
+                    raise RuntimeError(
+                        f"route-mode bucket overflow: {overflow} occurrences "
+                        f"dropped in epoch {epoch} (route_overflow_policy="
+                        f"'error'); raise route_capacity"
+                    )
             if cfg.eval_data:
                 t0 = time.perf_counter()
                 eval_loss, eval_auc = self.evaluate()

@@ -224,7 +224,7 @@ def test_sharded_checkpoint_streams_logical_rows(tmp_path):
     mesh2 = make_mesh(4, 2)
     s2 = shard_state(loaded, mesh2)
     step2 = ShardedStep(cfg, mesh2, s2)
-    s2, _, loss2, _ = step2.train_step(s2, step2.place_batch(arrays))
+    s2, _, loss2, _, _ = step2.train_step(s2, step2.place_batch(arrays))
     np.testing.assert_allclose(float(loss2), float(ref2.loss_sum), rtol=1e-5)
 
 

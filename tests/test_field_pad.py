@@ -179,11 +179,11 @@ def test_sharded_padded_matches_single_device(mesh_shape, lookup_mode):
     sstate = shard_state(model.init(), mesh)
     step = ShardedStep(cfg, mesh, sstate)
     sbatch = step.place_batch(arrays)
-    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+    sstate, logits, loss_sum, count, _ = step.train_step(sstate, sbatch)
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
     )
-    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+    sstate, logits, loss_sum, count, _ = step.train_step(sstate, sbatch)
     np.testing.assert_allclose(
         float(loss_sum), float(out2.loss_sum), rtol=1e-5
     )

@@ -65,7 +65,7 @@ def test_sharded_matches_single_device(model_type, mesh_shape, lookup_mode):
     sstate = shard_state(model.init(), mesh)
     step = ShardedStep(cfg, mesh, sstate)
     sbatch = step.place_batch(arrays)
-    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+    sstate, logits, loss_sum, count, _ = step.train_step(sstate, sbatch)
     np.testing.assert_allclose(
         np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
     )
@@ -73,7 +73,7 @@ def test_sharded_matches_single_device(model_type, mesh_shape, lookup_mode):
         float(loss_sum), float(out1.loss_sum), rtol=1e-5
     )
     assert float(count) == float(out1.count)
-    sstate, logits, loss_sum, count = step.train_step(sstate, sbatch)
+    sstate, logits, loss_sum, count, _ = step.train_step(sstate, sbatch)
 
     lstate = unshard_state(sstate, mesh.shape["model"], cfg.n_feats)
     np.testing.assert_allclose(
@@ -162,7 +162,7 @@ def test_sharded_sparse_update_matches_single_device(model_type):
     mesh = make_mesh(4, 2)
     sstate = shard_state(model.init(), mesh)
     step = ShardedStep(cfg, mesh, sstate)
-    sstate, logits, loss_sum, count = step.train_step(sstate, step.place_batch(arrays))
+    sstate, logits, loss_sum, count, _ = step.train_step(sstate, step.place_batch(arrays))
     lstate = unshard_state(sstate, mesh.shape["model"], cfg.n_feats)
     np.testing.assert_allclose(
         np.asarray(lstate.lin_z), np.asarray(out1.state.lin_z), rtol=1e-4, atol=1e-7
@@ -177,25 +177,153 @@ def test_sharded_sparse_update_matches_single_device(model_type):
         )
 
 
-def test_route_capacity_overflow_drops_gracefully():
-    """With a tiny route_capacity, overflowing occurrences are dropped (not
-    corrupted): the step still runs, and rows that did fit still update."""
+def test_route_hot_id_exact_even_at_tiny_capacity():
+    """Unique-id routing makes duplicate-id skew incapable of overflow: a
+    batch where EVERY occurrence is the same id (the pathological hot-key
+    case that overflowed occurrence-slot routing) trains exactly, matching
+    the single-device step, even at route_capacity=0.01."""
     cfg = _cfg("LR", lookup_mode="route", route_capacity=0.01)
     model = make_model(cfg)
     rng = np.random.default_rng(7)
     arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats, cfg.n_fields,
                            pad_tail=0)
-    # every occurrence the same id -> one owner bucket, guaranteed overflow
+    # every occurrence the same id -> one unique id -> one slot, no overflow
     arrays = (arrays[0], np.full_like(arrays[1], 3), arrays[2], arrays[3], arrays[4])
+
+    out1 = model.train_step(model.init(), Batch(*(jnp.asarray(a) for a in arrays)))
 
     mesh = make_mesh(2, 4)
     sstate = shard_state(model.init(), mesh)
     step = ShardedStep(cfg, mesh, sstate)
     assert step.mode == "route" and step.route_k == 8  # clamped minimum
-    sstate, logits, loss_sum, count = step.train_step(sstate, step.place_batch(arrays))
-    assert np.isfinite(float(loss_sum))
-    lstate = unshard_state(sstate, 4, cfg.n_feats)
-    # id 3 received *some* gradient (the routed portion), everything else none
-    z = np.asarray(lstate.lin_z)
-    assert z[3] != 0.0
-    assert np.all(z[:3] == 0.0) and np.all(z[4:] == 0.0)
+    out = step.train_step(sstate, step.place_batch(arrays))
+    assert int(out.route_overflow) == 0
+    lstate = unshard_state(out.state, 4, cfg.n_feats)
+    np.testing.assert_allclose(
+        np.asarray(lstate.lin_z), np.asarray(out1.state.lin_z),
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        float(out.loss_sum), float(out1.loss_sum), rtol=1e-5
+    )
+
+
+def _zipf_batch(rng, b, f, n_feats, n_fields, s=1.1):
+    """Heavy-tailed (Zipf s~1.1) feature ids — the realistic CTR id
+    distribution that stressed occurrence-slot routing."""
+    ranks = rng.zipf(s, size=(b, f))
+    feats = np.minimum(ranks - 1, n_feats - 1).astype(np.int32)
+    fields = rng.integers(0, n_fields, (b, f)).astype(np.int32)
+    vals = np.ones((b, f), np.float32)
+    y = (rng.random(b) > 0.5).astype(np.float32)
+    return (fields, feats, vals, y, np.ones(b, np.float32))
+
+
+@pytest.mark.parametrize("model_type", ["LR", "FFM"])
+def test_route_zipf_skew_exact_at_default_capacity(model_type):
+    """VERDICT round-2 #1 'done' criterion: on Zipf-skewed (s=1.1) ids at
+    the DEFAULT route_capacity, route-mode losses/state equal the
+    replicate-mode (exact) ones and zero occurrences are dropped —
+    matching the reference's unconditional per-occurrence updates
+    (src/model/ftrl_model.cpp:66-77)."""
+    cfg_route = _cfg(model_type, lookup_mode="route")
+    cfg_repl = _cfg(model_type, lookup_mode="replicate")
+    rng = np.random.default_rng(11)
+    arrays = _zipf_batch(rng, cfg_route.batch_size, cfg_route.max_nnz,
+                         cfg_route.n_feats, cfg_route.n_fields)
+
+    model = make_model(cfg_repl)
+    mesh = make_mesh(4, 2)
+
+    sstate_r = shard_state(model.init(), mesh)
+    step_r = ShardedStep(cfg_repl, mesh, sstate_r)
+    sb_r = step_r.place_batch(arrays)
+    ref_state, _, ref_loss, _, _ = step_r.train_step(sstate_r, sb_r)
+    ref_state, _, ref_loss2, _, _ = step_r.train_step(ref_state, sb_r)
+
+    sstate = shard_state(make_model(cfg_route).init(), mesh)
+    step = ShardedStep(cfg_route, mesh, sstate)
+    assert step.mode == "route"
+    sb = step.place_batch(arrays)
+    out = step.train_step(sstate, sb)
+    assert int(out.route_overflow) == 0
+    np.testing.assert_allclose(float(out.loss_sum), float(ref_loss), rtol=1e-5)
+    out = step.train_step(out.state, sb)
+    assert int(out.route_overflow) == 0
+    np.testing.assert_allclose(float(out.loss_sum), float(ref_loss2), rtol=1e-5)
+
+    l_route = unshard_state(out.state, 2, cfg_route.n_feats)
+    l_repl = unshard_state(ref_state, 2, cfg_route.n_feats)
+    np.testing.assert_allclose(
+        np.asarray(l_route.lin_z), np.asarray(l_repl.lin_z),
+        rtol=1e-4, atol=1e-7,
+    )
+    if model_type != "LR":
+        np.testing.assert_allclose(
+            np.asarray(l_route.vec_z), np.asarray(l_repl.vec_z),
+            rtol=1e-4, atol=1e-7,
+        )
+
+
+def test_route_distinct_id_overflow_counted_and_graceful():
+    """The residual adversarial case: more DISTINCT ids owned by one peer
+    than route_k.  Dropped occurrences are counted (TrainOut.route_overflow)
+    and the step stays finite; ids that fit still update."""
+    m = 4
+    cfg = Config(
+        model_type="LR", n_feats=64, n_fields=4, batch_size=16, max_nnz=5,
+        lookup_mode="route", route_capacity=0.01,
+    )
+    model = make_model(cfg)
+    rng = np.random.default_rng(9)
+    arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats,
+                           cfg.n_fields, pad_tail=0)
+    # 16 distinct logical ids that all live on shard 0 (physical ids are
+    # modulo-interleaved: logical id l -> shard l % m).  On the (1, 4) mesh
+    # each device holds 4 samples = 20 occurrences cycling through all 16
+    # distinct ids -> per-device demand 16 > k = 8, overflow guaranteed.
+    b, f = arrays[1].shape
+    feats = (m * (np.arange(b * f) % 16)).reshape(b, f).astype(np.int32)
+    arrays = (arrays[0], feats, arrays[2], arrays[3], arrays[4])
+
+    mesh = make_mesh(1, m)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    assert step.route_k == 8
+    out = step.train_step(sstate, step.place_batch(arrays))
+    assert np.isfinite(float(out.loss_sum))
+    assert int(out.route_overflow) > 0
+    z = np.asarray(unshard_state(out.state, m, cfg.n_feats).lin_z)
+    touched = np.flatnonzero(z)
+    assert len(touched) > 0  # ids that fit still updated
+    assert np.all(touched % m == 0)  # only shard-0 ids were in the batch
+
+
+def test_route_overflow_policy_error_raises(tmp_path):
+    """Trainer surfaces the per-epoch drop counter in history and raises
+    under route_overflow_policy='error'."""
+    from ftrl_ffm_tpu.train import Trainer
+    from ftrl_ffm_tpu.config import Config
+
+    rng = np.random.default_rng(13)
+    path = str(tmp_path / "t.ffm")
+    m = 4
+    with open(path, "w") as f:
+        for i in range(64):
+            # adversarial: all ids on shard 0 (≡ 0 mod m), lines cycle
+            # through 16 distinct ids so each device's 4-sample slice
+            # demands 16 slots > k = 8
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{m * ((4 * i + c) % 16)}:1" for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(
+        train_data=path, model_type="LR", n_fields=4, n_feats=64,
+        batch_size=16, n_epochs=1, online=True, mesh_data=1, mesh_model=m,
+        lookup_mode="route", route_capacity=0.01,
+    )
+    tr = Trainer(Config(**kw))
+    h = tr.train()
+    assert h["route_overflow"][0] > 0  # counted and surfaced
+    with pytest.raises(RuntimeError, match="bucket overflow"):
+        Trainer(Config(**kw, route_overflow_policy="error")).train()

@@ -149,7 +149,7 @@ def time_sharded(cfg, model, state, batch) -> float:
         t0 = time.perf_counter()
         ls = None
         for _ in range(n):
-            st, logits, ls, ct = step.train_step(st, sbatch)
+            st, logits, ls, ct, _ = step.train_step(st, sbatch)
         float(ls)
         return time.perf_counter() - t0, st
 
