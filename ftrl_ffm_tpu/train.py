@@ -674,10 +674,7 @@ class Trainer:
 
         cfg = self.cfg
         if self._proc_n > 1:
-            raise NotImplementedError(
-                "predict_file writes ordered per-line output; run it "
-                "single-process (training can stay multi-host)"
-            )
+            return self._predict_file_multihost(data_path, out_path)
         if data_path == "-" and not cfg.file_type:
             raise ValueError(
                 "--predict_data -: stdin cannot be sniffed; set --file_type"
@@ -718,6 +715,98 @@ class Trainer:
                 for p in probs[mask]:
                     f.write(f"{p:.6f}\n")
                 total += int(mask.sum())
+        return total
+
+    def _local_batch_rows(self, arr) -> np.ndarray:
+        """This process's rows of a batch-sharded [B] device array, in
+        ascending global-row order.  Every process feeds a contiguous block
+        of each global batch (place via make_array_from_process_local_data),
+        so its addressable shards hold exactly the rows it fed; shards
+        replicated over a non-batch mesh axis are deduplicated by their
+        global start index."""
+        seen = {}
+        for sh in arr.addressable_shards:
+            start = sh.index[0].start or 0
+            if start not in seen:
+                seen[start] = np.asarray(sh.data).reshape(-1)
+        rows = np.concatenate([seen[k] for k in sorted(seen)])
+        assert rows.shape[0] == self._local_bs, (
+            f"addressable rows {rows.shape[0]} != local batch {self._local_bs}"
+        )
+        return rows
+
+    def _predict_file_multihost(self, data_path: str, out_path: str) -> int:
+        """Ordered multi-host scoring (the multi-host form of predict_file).
+
+        Every process streams its byte-range slice of the input in lockstep
+        (SPMD eval steps over the global mesh, inert-padded to a common step
+        count), per-batch probabilities are allgathered, and the coordinator
+        seek-writes each process's fixed-width probability lines at their
+        global line offsets — the output is byte-identical to a
+        single-process run.  The reference has no multi-process anything
+        (SURVEY §2c); this is the scoring twin of multi-host training."""
+        from jax.experimental import multihost_utils
+
+        cfg = self.cfg
+        if data_path == "-" or out_path == "-":
+            raise ValueError(
+                "multi-host predict_file needs real file paths (stdin/stdout "
+                "streaming is single-process only)"
+            )
+        from ftrl_ffm_tpu.data.loader import count_lines
+
+        br = self._byte_range(data_path)
+        lines_local = count_lines(data_path, br)
+        counts = np.asarray(
+            multihost_utils.process_allgather(
+                jnp.asarray([lines_local], jnp.int32)
+            )
+        ).reshape(-1)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        total = int(counts.sum())
+        lb = self._local_bs
+        n_steps = int(-(-counts.max() // lb)) if total else 0
+        row_bytes = 9  # every line is "0.xxxxxx\n" (prob in [0, 1], %.6f)
+
+        reader = StreamReader(
+            data_path,
+            cfg.file_type or detect_file_type(data_path),
+            lb,
+            cfg.max_nnz,
+            cfg.n_feats,
+            cfg.n_fields,
+            n_parse_threads=cfg.n_threads,
+            byte_range=br,
+            log_every=0,
+        )
+        out_f = None
+        if self._proc_id == 0:
+            out_f = open(out_path, "wb")
+            out_f.truncate(row_bytes * total)
+        try:
+            for b_idx, arrays in enumerate(
+                self._pad_to_steps(reader.batches(), n_steps)
+            ):
+                batch = self._device_batch(arrays)
+                _, _, logits = self._sharded.eval_step(self.state, batch)
+                local = self._local_batch_rows(jax.nn.sigmoid(logits))
+                gathered = np.asarray(multihost_utils.process_allgather(local))
+                if out_f is None:
+                    continue
+                base = b_idx * lb
+                for p in range(self._proc_n):
+                    valid = min(max(int(counts[p]) - base, 0), lb)
+                    if valid <= 0:
+                        continue
+                    out_f.seek(row_bytes * (int(starts[p]) + base))
+                    out_f.write(
+                        "".join(
+                            f"{float(v):.6f}\n" for v in gathered[p, :valid]
+                        ).encode()
+                    )
+        finally:
+            if out_f is not None:
+                out_f.close()
         return total
 
     @property

@@ -1,7 +1,8 @@
 """Subprocess worker for the 2-process jax.distributed CPU test.
 
 Usage: python tests/multihost_worker.py <coordinator> <nprocs> <pid> <data>
-           <out.json> [mesh_model] [lookup_mode] [ckpt_path]
+           <out.json> [mesh_model] [lookup_mode] [ckpt_path] [pred_path]
+           [n_epochs]
 
 Each process initializes jax.distributed, trains the same config (streaming
 its own byte-range of the file — ftrl_ffm_tpu.data.loader.process_byte_range)
@@ -19,6 +20,8 @@ def main() -> None:
     mesh_model = int(sys.argv[6]) if len(sys.argv) > 6 else 1
     lookup_mode = sys.argv[7] if len(sys.argv) > 7 else "auto"
     ckpt_path = sys.argv[8] if len(sys.argv) > 8 else ""
+    pred_path = sys.argv[9] if len(sys.argv) > 9 else ""
+    n_epochs = int(sys.argv[10]) if len(sys.argv) > 10 else 2
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -39,7 +42,7 @@ def main() -> None:
         n_feats=50,
         n_factors=4,
         batch_size=256,
-        n_epochs=2,
+        n_epochs=n_epochs,
         online=True,
         # mesh_data=0: span ALL global devices (both processes) on the data
         # axis — make_mesh resolves 0 to device_count // mesh_model
@@ -48,11 +51,17 @@ def main() -> None:
         lookup_mode=lookup_mode,
     )
     tr = Trainer(cfg)
-    hist = tr.train()
+    # n_epochs=0: predict-only mode (deterministic init state — bitwise
+    # comparable across process counts)
+    hist = tr.train() if n_epochs > 0 else {"train_loss": []}
     if ckpt_path:
         # multi-host checkpoint: every process joins the state allgather,
         # only the coordinator writes (train.py::save_checkpoint)
         tr.save_checkpoint(ckpt_path)
+    if pred_path:
+        # ordered multi-host scoring: all processes participate, the
+        # coordinator writes the (byte-identical) prediction file
+        tr.predict_file(data, pred_path)
     with open(out, "w") as f:
         json.dump(
             {

@@ -169,6 +169,35 @@ def test_two_process_sharded_checkpoint(tmp_path):
     assert int(state.step) == int(ref.state.step)
 
 
+def test_two_process_ordered_predict_file_byte_identical(tmp_path):
+    """Multi-host predict_file: 2 processes score their byte-range slices in
+    lockstep, the coordinator seek-writes fixed-width lines at global
+    offsets — output must be byte-identical to a single-process run on the
+    same mesh shape.  Predict-only (n_epochs=0): the init state is
+    deterministic across process counts, so byte equality pins the
+    ordering/assembly; trained states would reassociate f32 sums across
+    process boundaries and make the last %.6f digit flaky."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    # 300 lines: an uneven final batch per process (150 = 128 + 22 valid)
+    # exercises cross-batch ordering and padded-tail masking
+    data = _write_fixed_width_ffm(tmp_path / "score.ffm", n=300)
+    cfg = Config(
+        train_data=data, model_type="FFM", n_fields=4, n_feats=50,
+        n_factors=4, batch_size=256, online=True, mesh_data=0, mesh_model=2,
+    )
+    ref_out = str(tmp_path / "ref_pred.txt")
+    assert Trainer(cfg).predict_file(data, ref_out) == 300
+
+    pred = str(tmp_path / "mh_pred.txt")
+    _run_two_processes(tmp_path, data, extra_args=(2, "auto", "", pred, 0))
+    got = open(pred, "rb").read()
+    want = open(ref_out, "rb").read()
+    assert len(got) == len(want) == 9 * 300
+    assert got == want
+
+
 def test_two_process_route_sharded_matches_single(tmp_path):
     """The full production shape executed for real: 2 processes, tables
     row-sharded over mesh_model=2 with all_to_all routed lookups (a
