@@ -167,6 +167,10 @@ class Trainer:
         # disables it for the rest of the run, so the jitted step sees at
         # most one feats-dtype flip (recompiles are expensive on TPU)
         self._delta_ok = True
+        # Multi-host dynamic-narrowing agreement (see _compact): per-stream
+        # observations from the first full pass and the agreed contract
+        self._dyn_obs: dict = {}
+        self._dyn_agreed: dict = {}
 
     def _drop_layout_pins(self) -> None:
         """Rebuild the jitted steps without entry-layout pins.
@@ -326,19 +330,168 @@ class Trainer:
         if err:
             raise err[0]
 
-    def _device_feed(self, arrays_iter):
+    def _device_feed(self, arrays_iter, role: str = "train"):
         # single upload stage: splitting compact and device_put into two
         # pipelined threads was measured WORSE on this 4-core host (LR 527k
         # -> 359k ex/s — GIL/context-switch overhead beats the overlap win)
-        return self._feed(arrays_iter, self._device_batch)
+        return self._feed(arrays_iter, lambda a: self._device_batch(a, role))
 
-    def _device_feed_multi(self, groups_iter):
+    def _device_feed_multi(self, groups_iter, role: str = "train"):
         """Like _device_feed but for [S, ...]-stacked batch groups."""
         return self._feed(
-            groups_iter, lambda gr: (self._device_batch(gr[0]), gr[1])
+            groups_iter, lambda gr: (self._device_batch(gr[0], role), gr[1])
         )
 
-    def _compact(self, arrays):
+    # ---- multi-host dynamic-narrowing agreement ----
+    # Per-process data-dependent upload dtypes would desync the SPMD avals
+    # (divergent compilations / collective mismatch), so multi-host runs
+    # OBSERVE each stream's data during its first full pass (epochs re-read
+    # the same file / in-memory dataset, so one pass is exact knowledge),
+    # AGREE the narrowings across processes with one small allgather at the
+    # epoch boundary (main thread, lockstep), and APPLY the agreed contract
+    # from the second pass on — verified per batch, raising loudly on any
+    # violation rather than desyncing.
+
+    def _observe_dyn(self, role, feats, vals, sample_w) -> None:
+        f = feats.shape[-1]
+        obs = self._dyn_obs.get(role)
+        if obs is None:
+            obs = self._dyn_obs[role] = {
+                "lo": np.full(f, np.iinfo(np.int64).max, np.int64),
+                "hi": np.full(f, -1, np.int64),
+                "int8": True,
+                "bf16": True,
+                "sw": True,
+            }
+        flat = feats.reshape(-1, f).astype(np.int64)
+        valid = flat != self.cfg.n_feats
+        any_valid = valid.any(axis=0)
+        lo = np.where(
+            any_valid,
+            np.where(valid, flat, np.iinfo(np.int64).max).min(axis=0),
+            obs["lo"],
+        )
+        hi = np.where(any_valid, np.where(valid, flat, -1).max(axis=0), obs["hi"])
+        obs["lo"] = np.minimum(obs["lo"], lo)
+        obs["hi"] = np.maximum(obs["hi"], hi)
+        if obs["int8"]:
+            obs["int8"] = bool(
+                np.array_equal(vals.astype(np.int8).astype(np.float32), vals)
+            )
+        if not obs["int8"] and obs["bf16"]:
+            import ml_dtypes
+
+            obs["bf16"] = bool(
+                np.array_equal(
+                    vals.astype(ml_dtypes.bfloat16).astype(np.float32), vals
+                )
+            )
+        if obs["sw"]:
+            obs["sw"] = bool(
+                np.array_equal(
+                    sample_w.astype(np.int8).astype(np.float32), sample_w
+                )
+            )
+
+    def _agree_dyn(self, role: str) -> None:
+        """One allgather fixes `role`'s narrowings for the rest of the run.
+
+        Lockstep: every process calls this at the same epoch boundary
+        (train_epoch end / evaluate end), whether or not it observed data
+        (empty byte-range shards contribute neutral elements)."""
+        if (
+            self._proc_n <= 1
+            or not self.cfg.compact_transfer
+            or role in self._dyn_agreed
+        ):
+            return
+        from jax.experimental import multihost_utils
+
+        f = self.cfg.max_nnz
+        obs = self._dyn_obs.get(role) or {
+            "lo": np.full(f, np.iinfo(np.int64).max, np.int64),
+            "hi": np.full(f, -1, np.int64),
+            "int8": True,
+            "bf16": True,
+            "sw": True,
+        }
+        msg = np.concatenate(
+            [
+                np.array(
+                    [obs["int8"], obs["bf16"], obs["sw"]], np.int64
+                ),
+                obs["lo"],
+                obs["hi"],
+            ]
+        )
+        all_msgs = np.asarray(multihost_utils.process_allgather(msg))
+        flags = all_msgs[:, :3].all(axis=0)
+        lo = all_msgs[:, 3 : 3 + f].min(axis=0)
+        hi = all_msgs[:, 3 + f :].max(axis=0)
+        seen = hi >= 0
+        delta_ok = bool(np.all(~seen | (hi - lo <= 65534)))
+        base = np.where(seen, lo, 0).astype(np.int32)
+        self._dyn_agreed[role] = {
+            "int8": bool(flags[0]),
+            "bf16": bool(flags[1]),
+            "sw": bool(flags[2]),
+            "delta": delta_ok,
+            "base": base,
+        }
+
+    def _apply_agreed(self, arrays, agreed, fields_c, y_c):
+        """Apply an agreed multi-host narrowing contract to one batch,
+        verifying losslessness (the stream was fully observed, so a
+        violation means the data changed between passes — raise, never
+        desync)."""
+        _, feats, vals, _, sample_w = arrays[:5]
+        feats_base = None
+        if agreed["delta"]:
+            sent = self.cfg.n_feats
+            flat = feats.reshape(-1, feats.shape[-1]).astype(np.int64)
+            delta = flat - agreed["base"]
+            sentinel = flat == sent
+            if bool((~sentinel & ((delta < 0) | (delta > 65534))).any()):
+                raise RuntimeError(
+                    "compact-transfer contract violated: feature ids moved "
+                    "outside the observed per-column ranges between epochs "
+                    "(is the input file being modified during training?)"
+                )
+            feats = np.where(sentinel, 65535, delta).astype(np.uint16).reshape(
+                feats.shape
+            )
+            feats_base = np.concatenate(
+                [agreed["base"], np.array([sent], np.int32)]
+            )
+            if feats.ndim == 3:  # [S, B, F] group: scan slices every leaf
+                feats_base = np.tile(feats_base, (feats.shape[0], 1))
+        vals_c = vals
+        if agreed["int8"]:
+            vals_c = vals.astype(np.int8)
+            exact = np.array_equal(vals_c.astype(np.float32), vals)
+        elif agreed["bf16"]:
+            import ml_dtypes
+
+            vals_c = vals.astype(ml_dtypes.bfloat16)
+            exact = np.array_equal(vals_c.astype(np.float32), vals)
+        else:
+            exact = True
+        if not exact:
+            raise RuntimeError(
+                "compact-transfer contract violated: values no longer "
+                "exactly representable in the agreed dtype"
+            )
+        sw_c = sample_w
+        if agreed["sw"]:
+            sw_c = sample_w.astype(np.int8)
+            if not np.array_equal(sw_c.astype(np.float32), sample_w):
+                raise RuntimeError(
+                    "compact-transfer contract violated: sample weights no "
+                    "longer integral"
+                )
+        return (fields_c, feats, vals_c, y_c, sw_c, feats_base)
+
+    def _compact(self, arrays, role: str = "train"):
         """Narrow upload dtypes (see Config.compact_transfer); the jitted
         steps widen on device (models/base.py::widen_batch).
 
@@ -354,9 +507,10 @@ class Trainer:
         # Multi-host: narrowing decisions must be IDENTICAL on every process
         # (each feeds its own byte-range of the global batch; a per-process
         # data-dependent dtype would desync the SPMD avals -> divergent
-        # compilations / collective mismatch).  Only static narrowings
-        # (fields width from cfg, y int8 — labels are binarized {0,1} by the
-        # parse contract) apply there.
+        # compilations / collective mismatch).  First pass: static
+        # narrowings only (fields width from cfg, y int8 — labels are
+        # binarized {0,1} by the parse contract) while observing; later
+        # passes apply the allgather-agreed contract (_agree_dyn).
         dynamic_ok = self._proc_n == 1
         fields, feats, vals, y, sample_w = arrays[:5]
         fdt = (
@@ -364,6 +518,22 @@ class Trainer:
             if self.cfg.n_fields <= 127
             else np.int16 if self.cfg.n_fields <= 32767 else np.int32
         )
+        if not dynamic_ok:
+            agreed = self._dyn_agreed.get(role)
+            if agreed is not None:
+                return self._apply_agreed(
+                    arrays, agreed, fields.astype(fdt), y.astype(np.int8)
+                )
+            if role != "predict":  # predict streams are single-pass
+                self._observe_dyn(role, feats, vals, sample_w)
+            return (
+                fields.astype(fdt),
+                feats,
+                vals,
+                y.astype(np.int8),
+                sample_w,
+                None,
+            )
         # feats: per-column uint16 delta encoding.  CTR ids cluster in
         # per-field vocab ranges, so (max - min) per column is tiny even when
         # n_feats is huge; delta 65535 is reserved for the padding sentinel.
@@ -432,8 +602,8 @@ class Trainer:
             return self._sharded.place_batch(arrays)
         return Batch(*(None if a is None else jnp.asarray(a) for a in arrays))
 
-    def _device_batch(self, arrays) -> Batch:
-        return self._place_batch(self._compact(arrays))
+    def _device_batch(self, arrays, role: str = "train") -> Batch:
+        return self._place_batch(self._compact(arrays, role))
 
     def _grouped(self, arrays_iter, s: int):
         """Stack batches into [S, ...] groups; the remainder group is padded
@@ -643,6 +813,10 @@ class Trainer:
                 maybe_save(self._steps_done + len(sums),
                            self._steps_done + len(sums) - 1)
             self._steps_done += len(sums)
+        # first full pass observed the whole train stream: agree the
+        # multi-host dynamic narrowings now (lockstep, one allgather, no-op
+        # single-process / already-agreed)
+        self._agree_dyn("train")
         if not sums:
             self._epoch_route_overflow = 0
             return float("nan")
@@ -699,7 +873,7 @@ class Trainer:
         )
         with out_cm as f:
             for arrays in reader.batches():
-                batch = self._device_batch(arrays)
+                batch = self._device_batch(arrays, role="predict")
                 if self._sharded is not None:
                     _, _, logits = self._sharded.eval_step(self.state, batch)
                 else:
@@ -787,7 +961,7 @@ class Trainer:
             for b_idx, arrays in enumerate(
                 self._pad_to_steps(reader.batches(), n_steps)
             ):
-                batch = self._device_batch(arrays)
+                batch = self._device_batch(arrays, role="predict")
                 _, _, logits = self._sharded.eval_step(self.state, batch)
                 local = self._local_batch_rows(jax.nn.sigmoid(logits))
                 gathered = np.asarray(multihost_utils.process_allgather(local))
@@ -864,7 +1038,7 @@ class Trainer:
         results = []
         if self._spc > 1:
             groups = self._grouped(self._eval_batches(), self._spc)
-            for group, _ in self._device_feed_multi(groups):
+            for group, _ in self._device_feed_multi(groups, role="eval"):
                 try:
                     results.append(self._eval_multi(self.state, group))
                 except ValueError as e:
@@ -873,7 +1047,7 @@ class Trainer:
                     self._drop_layout_pins()
                     results.append(self._eval_multi(self.state, group))
         else:
-            for batch in self._device_feed(self._eval_batches()):
+            for batch in self._device_feed(self._eval_batches(), role="eval"):
                 try:
                     results.append(self._eval_step(self.state, batch))
                 except ValueError as e:
@@ -881,6 +1055,7 @@ class Trainer:
                         raise
                     self._drop_layout_pins()
                     results.append(self._eval_step(self.state, batch))
+        self._agree_dyn("eval")
         if not results:
             return float("nan"), float("nan")
         loss_sum = jnp.sum(jnp.stack([r[0] for r in results]))

@@ -62,6 +62,13 @@ def main() -> None:
         # ordered multi-host scoring: all processes participate, the
         # coordinator writes the (byte-identical) prediction file
         tr.predict_file(data, pred_path)
+    agreed = {
+        role: {
+            k: (v.tolist() if hasattr(v, "tolist") else v)
+            for k, v in d.items()
+        }
+        for role, d in tr._dyn_agreed.items()
+    }
     with open(out, "w") as f:
         json.dump(
             {
@@ -69,6 +76,7 @@ def main() -> None:
                 "process_count": jax.process_count(),
                 "device_count": jax.device_count(),
                 "local_device_count": jax.local_device_count(),
+                "compact_agreed": agreed,
             },
             f,
         )

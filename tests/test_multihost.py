@@ -169,6 +169,39 @@ def test_two_process_sharded_checkpoint(tmp_path):
     assert int(state.step) == int(ref.state.step)
 
 
+def test_two_process_dynamic_compact_transfer_matches_single(tmp_path):
+    """Multi-host dynamic narrowing: epoch 1 observes the stream (static
+    uploads), one allgather agrees the contract, epochs 2+ upload uint16
+    delta ids / int8 values — and losses still match the single-process run
+    (narrowing is lossless by construction)."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    cfg = Config(
+        train_data=data, eval_data=data, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=256, n_epochs=3, online=True,
+    )
+    ref = Trainer(cfg).train()
+
+    for hist in _run_two_processes(
+        tmp_path, data, extra_args=(1, "auto", "", "", 3)
+    ):
+        agreed = hist["compact_agreed"]
+        # the fixture is all-1.0-valued with small per-column id ranges:
+        # every dynamic narrowing must have been agreed
+        assert agreed["train"]["delta"] is True
+        assert agreed["train"]["int8"] is True
+        assert agreed["train"]["sw"] is True
+        assert agreed["eval"]["delta"] is True
+        np.testing.assert_allclose(
+            hist["train_loss"], ref["train_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_loss"], ref["eval_loss"], rtol=2e-5
+        )
+
+
 def test_two_process_ordered_predict_file_byte_identical(tmp_path):
     """Multi-host predict_file: 2 processes score their byte-range slices in
     lockstep, the coordinator seek-writes fixed-width lines at global
