@@ -63,15 +63,19 @@ def parse_text(
     n_feats: int,
     n_fields: int,
     use_native: bool = True,
+    n_threads: int = 1,
 ) -> ParsedChunk:
     """Parse a chunk of libsvm/libffm text into padded arrays.
 
     Uses the C++ fast path (ftrl_ffm_tpu/native) when available — raw bytes
-    go straight to it, no decode; the vectorized-numpy implementation below
-    is the always-available fallback and numerical ground truth (tests
-    assert both agree)."""
+    go straight to it, no decode, and n_threads > 1 parses newline-aligned
+    sub-ranges concurrently inside the library (GIL released); the
+    vectorized-numpy implementation below is the always-available fallback
+    and numerical ground truth (tests assert both agree)."""
     if use_native:
-        out = parse_text_native(text, file_type, max_nnz, n_feats, n_fields)
+        out = parse_text_native(
+            text, file_type, max_nnz, n_feats, n_fields, n_threads
+        )
         if out is not None:
             return out
     if isinstance(text, bytes):
@@ -85,6 +89,7 @@ def parse_text_native(
     max_nnz: int,
     n_feats: int,
     n_fields: int,
+    n_threads: int = 1,
 ) -> ParsedChunk | None:
     """C++ chunk parse; returns None if the native library is unavailable."""
     from ftrl_ffm_tpu import native
@@ -105,7 +110,7 @@ def parse_text_native(
     vals = np.zeros((cap, max_nnz), np.float32)
     y = np.zeros(cap, np.float32)
     nnz = np.zeros(cap, np.int32)
-    n = cdll.ftrl_parse_chunk(
+    n = cdll.ftrl_parse_chunk_mt(
         raw,
         len(raw),
         stride,
@@ -118,6 +123,7 @@ def parse_text_native(
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nnz.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cap,
+        max(1, n_threads),
     )
     if n < 0:
         raise ValueError("wrong input: malformed libsvm/libffm line")

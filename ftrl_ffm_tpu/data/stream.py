@@ -65,8 +65,16 @@ class StreamReader:
         # The C++ chunk parser releases the GIL, so a small thread pool gives
         # real parse parallelism — the reference's N consumer threads
         # (src/concurrent/pc_task.cpp:57-80) reborn as a parse pool feeding
-        # one device stream.
+        # one device stream.  When the native library is available, the
+        # parallelism moves INSIDE the library (ftrl_parse_chunk_mt: one
+        # call, n threads over newline-aligned sub-ranges) and the Python
+        # pool shrinks to one submit worker — one future + one set of numpy
+        # allocations per 4 MB block instead of per pool task, and no GIL
+        # churn between pool workers.
         self.n_parse_threads = max(1, n_parse_threads)
+        from ftrl_ffm_tpu import native
+
+        self._native_mt = native.lib() is not None
 
     def _open(self) -> IO[str]:
         if isinstance(self.path_or_file, str):
@@ -111,7 +119,9 @@ class StreamReader:
         # reference's "each example seen once per epoch, in stream order").
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         err: list[BaseException] = []
-        pool = cf.ThreadPoolExecutor(max_workers=self.n_parse_threads)
+        pool = cf.ThreadPoolExecutor(
+            max_workers=1 if self._native_mt else self.n_parse_threads
+        )
 
         def parse(lines):
             return parse_lines(
@@ -120,7 +130,8 @@ class StreamReader:
 
         def parse_block(blk: bytes):
             return parse_text(
-                blk, self.file_type, self.max_nnz, self.n_feats, self.n_fields
+                blk, self.file_type, self.max_nnz, self.n_feats, self.n_fields,
+                n_threads=self.n_parse_threads if self._native_mt else 1,
             )
 
         def log_progress(seen, prev):

@@ -46,6 +46,10 @@ class Batch(NamedTuple):
     delta-encode feats: when feats_base is set, feats holds uint16 deltas
     against per-column bases feats_base[:F], with delta 65535 reserved for
     the padding sentinel feats_base[F].  widen_batch decodes on device.
+    Two zero-width markers cut upload bytes further: fields may be [B, 0]
+    (LR/FM never read field ids) and vals may be [B, 0] (an exactly-all-1.0
+    batch with no padding — the canonical CTR case — is reconstructed as
+    ones on device).
     """
 
     fields: jax.Array  # [B, F] int32 (or int8/int16 compacted)
@@ -105,10 +109,17 @@ def widen_batch(b: Batch) -> Batch:
         base = b.feats_base[..., :-1]   # [F] per-column id base
         sent = b.feats_base[..., -1:]   # [1] the padding sentinel (n_feats)
         feats = jnp.where(feats == 65535, sent, base + feats)
+    # zero-width vals = the all-ones full-batch marker (shape is
+    # trace-static, so this costs nothing per step)
+    vals = (
+        jnp.ones(feats.shape, jnp.float32)
+        if b.vals.shape[-1] == 0 and feats.shape[-1] != 0
+        else b.vals.astype(jnp.float32)
+    )
     return Batch(
         fields=b.fields.astype(jnp.int32),
         feats=feats,
-        vals=b.vals.astype(jnp.float32),
+        vals=vals,
         y=b.y.astype(jnp.float32),
         sample_w=b.sample_w.astype(jnp.float32),
     )

@@ -39,7 +39,8 @@ def _build(so: str) -> bool:
     tmp = so + f".tmp{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             "-o", tmp, _SRC],
             check=True,
             capture_output=True,
             timeout=120,
@@ -69,6 +70,22 @@ def lib() -> ctypes.CDLL | None:
             cdll = ctypes.CDLL(so)
         except OSError:
             return None
+        # Optional (FTRL_MALLOPT=1): raise glibc's mmap threshold so the
+        # multi-MB parse output buffers come from the (reused, warm) heap
+        # instead of fresh mmaps — without it, first-touch page faults
+        # inside the parse threads serialize on the mm lock and cap the
+        # multi-thread speedup (measured: nt=4 call 11.0 -> 5.0 ms).  OFF
+        # by default: on this dev host's TPU relay the global allocator
+        # change slows the transfer path more than the parse gains
+        # (LR end-to-end 516k -> 481k ex/s) — flip it on for parse-bound
+        # multi-core hosts.
+        try:
+            import os as _os
+
+            if _os.environ.get("FTRL_MALLOPT") == "1":
+                ctypes.CDLL("libc.so.6").mallopt(-3, 256 << 20)  # M_MMAP_THRESHOLD
+        except (OSError, AttributeError):
+            pass
         cdll.ftrl_parse_chunk.restype = ctypes.c_int64
         cdll.ftrl_parse_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64,
@@ -80,6 +97,10 @@ def lib() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        cdll.ftrl_parse_chunk_mt.restype = ctypes.c_int64
+        cdll.ftrl_parse_chunk_mt.argtypes = (
+            cdll.ftrl_parse_chunk.argtypes + [ctypes.c_int32]
+        )
         cdll.ftrl_count_chunk.restype = None
         cdll.ftrl_count_chunk.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32,

@@ -19,6 +19,8 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 namespace {
 
@@ -147,6 +149,106 @@ int64_t ftrl_parse_chunk(
         p = (line_end < end) ? line_end + 1 : end;
     }
     return n;
+}
+
+// Multi-threaded chunk parse: split text at newline boundaries into
+// n_threads ranges, count non-blank lines per range (to assign disjoint
+// output row offsets), then parse ranges concurrently with std::thread.
+// Byte-identical output to ftrl_parse_chunk — the per-range parser is the
+// same loop, just pointed at a row offset.  The GIL is already released by
+// ctypes, so this is real host parallelism inside ONE library call (the
+// reference's consumer-thread parallelism, src/concurrent/pc_task.cpp:57-80,
+// reborn without per-chunk Python fan-out overhead).
+int64_t ftrl_parse_chunk_mt(
+    const char* text, int64_t len,
+    int32_t stride, int32_t max_nnz, int32_t n_feats, int32_t n_fields,
+    int32_t* out_fields, int32_t* out_feats, float* out_vals,
+    float* out_y, int32_t* out_nnz, int64_t cap, int32_t n_threads) {
+    if (n_threads <= 1 || len < (1 << 16)) {
+        return ftrl_parse_chunk(text, len, stride, max_nnz, n_feats, n_fields,
+                                out_fields, out_feats, out_vals, out_y,
+                                out_nnz, cap);
+    }
+    int t_count = n_threads > 16 ? 16 : n_threads;
+    std::vector<const char*> bounds(static_cast<size_t>(t_count) + 1);
+    bounds[0] = text;
+    bounds[t_count] = text + len;
+    for (int i = 1; i < t_count; ++i) {
+        const char* p = text + (len * i) / t_count;
+        if (p <= bounds[i - 1]) {
+            bounds[i] = bounds[i - 1];
+            continue;
+        }
+        const char* nl = static_cast<const char*>(
+            std::memchr(p, '\n', static_cast<size_t>(text + len - p)));
+        bounds[i] = nl ? nl + 1 : text + len;
+        if (bounds[i] < bounds[i - 1]) bounds[i] = bounds[i - 1];
+    }
+
+    // phase 1: count non-blank lines per range (matches the parse loop's
+    // blank-line skipping) — parallel, it is a measurable fraction of parse
+    std::vector<int64_t> counts(t_count, 0);
+    {
+        std::vector<std::thread> ts;
+        ts.reserve(t_count);
+        for (int i = 0; i < t_count; ++i) {
+            ts.emplace_back([&, i] {
+                const char* p = bounds[i];
+                const char* end = bounds[i + 1];
+                int64_t lines = 0;
+                bool in_line = false;
+                for (; p < end; ++p) {
+                    char c = *p;
+                    if (c == '\n') {
+                        if (in_line) ++lines;
+                        in_line = false;
+                    } else if (!is_space(c)) {
+                        in_line = true;
+                    }
+                }
+                if (in_line) ++lines;
+                counts[i] = lines;
+            });
+        }
+        for (auto& t : ts) t.join();
+    }
+    std::vector<int64_t> offs(static_cast<size_t>(t_count) + 1, 0);
+    for (int i = 0; i < t_count; ++i) offs[i + 1] = offs[i] + counts[i];
+
+    // phase 2: parse ranges into disjoint row windows
+    std::vector<int64_t> results(t_count, 0);
+    {
+        std::vector<std::thread> ts;
+        ts.reserve(t_count);
+        for (int i = 0; i < t_count; ++i) {
+            ts.emplace_back([&, i] {
+                int64_t row0 = offs[i];
+                int64_t room = cap > row0 ? cap - row0 : 0;
+                int64_t want = counts[i] < room ? counts[i] : room;
+                if (want <= 0) {
+                    results[i] = 0;
+                    return;
+                }
+                results[i] = ftrl_parse_chunk(
+                    bounds[i],
+                    static_cast<int64_t>(bounds[i + 1] - bounds[i]),
+                    stride, max_nnz, n_feats, n_fields,
+                    out_fields + row0 * max_nnz,
+                    out_feats + row0 * max_nnz,
+                    out_vals + row0 * max_nnz,
+                    out_y + row0,
+                    out_nnz + row0,
+                    want);
+            });
+        }
+        for (auto& t : ts) t.join();
+    }
+    int64_t total = 0;
+    for (int i = 0; i < t_count; ++i) {
+        if (results[i] < 0) return -1;  // malformed input in range i
+        total += results[i];
+    }
+    return total;
 }
 
 // Count lines and max token count (for sizing) in one cheap pass.

@@ -518,30 +518,41 @@ class Trainer:
             if self.cfg.n_fields <= 127
             else np.int16 if self.cfg.n_fields <= 32767 else np.int32
         )
+        # LR and FM never read field ids (their math has no field dimension,
+        # reference: src/model/lr.cpp:9-24, src/model/fm.cpp:40-67) — upload
+        # a zero-width fields array.  Static per run: no aval flips.
+        if self.cfg.model_type != "FFM":
+            fields_c = fields[..., :0].astype(np.int8)
+        else:
+            fields_c = fields.astype(fdt)
         if not dynamic_ok:
             agreed = self._dyn_agreed.get(role)
             if agreed is not None:
                 return self._apply_agreed(
-                    arrays, agreed, fields.astype(fdt), y.astype(np.int8)
+                    arrays, agreed, fields_c, y.astype(np.int8)
                 )
             if role != "predict":  # predict streams are single-pass
                 self._observe_dyn(role, feats, vals, sample_w)
             return (
-                fields.astype(fdt),
+                fields_c,
                 feats,
                 vals,
                 y.astype(np.int8),
                 sample_w,
                 None,
             )
+        # padding presence (any sentinel id): decides both the delta fast
+        # path and the all-ones vals marker below
+        sent = self.cfg.n_feats
+        flat0 = feats.reshape(-1, feats.shape[-1])
+        has_pad = int(flat0.max(initial=0)) == sent if flat0.size else False
         # feats: per-column uint16 delta encoding.  CTR ids cluster in
         # per-field vocab ranges, so (max - min) per column is tiny even when
         # n_feats is huge; delta 65535 is reserved for the padding sentinel.
         feats_base = None
         if self._delta_ok and dynamic_ok:
-            sent = self.cfg.n_feats
-            flat = feats.reshape(-1, feats.shape[-1])
-            if int(flat.max(initial=0)) != sent:
+            flat = flat0
+            if not has_pad:
                 # fast path — no padding rows (every batch but the last):
                 # plain per-column min/max, no boolean-mask temps (the
                 # masked form below measured 3.7 ms/batch of an ~18 ms
@@ -572,21 +583,29 @@ class Trainer:
                     feats_base = np.tile(feats_base, (feats.shape[0], 1))
             else:
                 self._delta_ok = False
-        # vals: int8 when integral, bfloat16 when exact, else f32 — never lossy
+        # vals: zero-width all-ones marker when the batch is exactly all-1.0
+        # with no padding (the canonical CTR case — widen_batch reconstructs
+        # ones on device), else int8 when integral, bfloat16 when exact,
+        # else f32 — never lossy.  At most two vals avals per run (full
+        # batches take the marker, the padded epoch tail takes the dtype
+        # path), so the jit cache stays bounded.
         vals_c, sw_i8 = vals, sample_w
         if dynamic_ok:
-            vals_i8 = vals.astype(np.int8)
-            if np.array_equal(vals_i8.astype(np.float32), vals):
-                vals_c = vals_i8
+            if not has_pad and np.all(vals == 1.0):
+                vals_c = vals[..., :0]
             else:
-                vals_bf16 = vals.astype(ml_dtypes.bfloat16)
-                if np.array_equal(vals_bf16.astype(np.float32), vals):
-                    vals_c = vals_bf16
+                vals_i8 = vals.astype(np.int8)
+                if np.array_equal(vals_i8.astype(np.float32), vals):
+                    vals_c = vals_i8
+                else:
+                    vals_bf16 = vals.astype(ml_dtypes.bfloat16)
+                    if np.array_equal(vals_bf16.astype(np.float32), vals):
+                        vals_c = vals_bf16
             sw_i8 = sample_w.astype(np.int8)
             if not np.array_equal(sw_i8.astype(np.float32), sample_w):
                 sw_i8 = sample_w  # fractional sample weights: keep f32
         return (
-            fields.astype(fdt),
+            fields_c,
             feats,
             vals_c,
             y.astype(np.int8),  # labels are binarized {0,1} at parse time

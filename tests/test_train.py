@@ -275,10 +275,20 @@ def test_compact_transfer_lossless_only(tmp_path):
     feats = np.zeros((4, 2), np.int32)
     y = np.zeros(4, np.float32)
     ones = np.ones(4, np.float32)
-    # exactly representable values -> compacted
+    # exactly all-1.0 with no padding -> the zero-width ones marker
     vals = np.full((4, 2), 1.0, np.float32)
     out = tr._compact((fields, feats, vals, y, ones))
-    assert out[2].dtype != np.float32 and out[4].dtype == np.int8
+    assert out[2].shape == (4, 0) and out[4].dtype == np.int8
+    # integral but not all-ones -> int8
+    vals = np.full((4, 2), 2.0, np.float32)
+    out = tr._compact((fields, feats, vals, y, ones))
+    assert out[2].dtype == np.int8
+    # all-1.0 but padded (sentinel id present) -> dtype path, not the marker
+    feats_pad = feats.copy()
+    feats_pad[-1] = tr.cfg.n_feats
+    vals = np.full((4, 2), 1.0, np.float32)
+    out = tr._compact((fields, feats_pad, vals, y, ones))
+    assert out[2].shape == (4, 2) and out[2].dtype == np.int8
     # non-representable values / fractional weights -> kept f32
     vals = np.full((4, 2), 0.123456, np.float32)
     half = np.full(4, 0.5, np.float32)
