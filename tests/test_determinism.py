@@ -103,3 +103,33 @@ def test_native_parser_fuzz_against_numpy():
         np.testing.assert_array_equal(nat.feats, ref.feats)
         np.testing.assert_allclose(nat.vals, ref.vals, rtol=1e-5, atol=1e-7)
         np.testing.assert_array_equal(nat.nnz, ref.nnz)
+
+
+def test_native_parser_mt_matches_single_thread():
+    """The in-library threaded parse (ftrl_parse_chunk_mt) must be
+    byte-identical to the single-thread parse on arbitrary content,
+    including blank lines at range boundaries and a chunk big enough to
+    clear the mt path's small-input early-out (64 KiB)."""
+    from ftrl_ffm_tpu.data.parser import parse_text_native
+
+    rng = np.random.default_rng(12)
+    lines = []
+    for i in range(4000):
+        if rng.random() < 0.02:
+            lines.append("   ")  # blank (whitespace-only) line, skipped
+            continue
+        nnz = int(rng.integers(1, 7))
+        toks = [str(int(rng.integers(0, 2)))]
+        for _ in range(nnz):
+            toks.append(
+                f"{int(rng.integers(0, 8))}:{int(rng.integers(0, 900))}:"
+                f"{float(np.round(rng.random(), 4))}"
+            )
+        lines.append(" ".join(toks))
+    text = ("\n".join(lines) + "\n").encode()
+    assert len(text) > (1 << 16)
+    single = parse_text_native(text, "libffm", 5, 800, 8, n_threads=1)
+    for nt in (2, 3, 8):
+        mt = parse_text_native(text, "libffm", 5, 800, 8, n_threads=nt)
+        for a, b in zip(single, mt):
+            np.testing.assert_array_equal(a, b, err_msg=f"n_threads={nt}")

@@ -13,6 +13,10 @@ rows (default: ffm fm lr):
     ffm1m    FFM k=16, 1M feature rows, online   (huge-table in-place path)
     offline  FFM k=16, offline (in-memory, shuffled)
     eval     FFM k=16 eval/serving throughput (inference kernel)
+    zipf     FFM k=16 on Zipf(s=1.1)-skewed ids  (realism: hot-key CTR data;
+             also reports the scatter dedup ratio + delta-encode hit rate)
+    numeric  FFM k=16 with one real-valued field (realism: exercises the
+             f32 vals upload fallback — no int8/ones narrowing possible)
 Env: ROWS_SAMPLES (400000), ACC_DTYPE, TABLE_DTYPE forwarded to Config.
 """
 
@@ -31,28 +35,75 @@ N_SAMPLES = int(os.environ.get("ROWS_SAMPLES", 400_000))
 N_FIELDS = 39
 
 
-def ensure_data(n_feats: int) -> str:
-    path = f"/tmp/ftrl_ffm_tpu_bench_{N_SAMPLES}_{n_feats}.txt"
+def ensure_data(n_feats: int, variant: str = "uniform") -> str:
+    """Synthetic Criteo-shaped libffm data.  Variants:
+    uniform — one uniform-random feature per field, all values 1.0;
+    zipf    — Zipf(s=1.1)-skewed ids within each field's vocab (heavy-tailed
+              real-CTR id distribution; reference data contract per
+              python/generate_data.py:200-203's offset vocab);
+    numeric — field 0 carries a real-valued feature (like the bundled
+              data's one numeric field, reference data/libsvm_data.txt),
+              matching generate_data.py:188-197's MinMax-normalized floats.
+    """
+    path = f"/tmp/ftrl_ffm_tpu_bench_{N_SAMPLES}_{n_feats}_{variant}.txt"
+    if variant == "uniform":  # keep the round-1/2 cache name
+        path = f"/tmp/ftrl_ffm_tpu_bench_{N_SAMPLES}_{n_feats}.txt"
     if os.path.exists(path) and os.path.getsize(path) > 0:
         return path
     rng = np.random.default_rng(7)
     per = n_feats // N_FIELDS
-    ids = (
-        rng.integers(0, per, (N_SAMPLES, N_FIELDS))
-        + np.arange(N_FIELDS) * per
-    )
+    if variant == "zipf":
+        ranks = rng.zipf(1.1, (N_SAMPLES, N_FIELDS))
+        ids = np.minimum(ranks - 1, per - 1) + np.arange(N_FIELDS) * per
+    else:
+        ids = (
+            rng.integers(0, per, (N_SAMPLES, N_FIELDS))
+            + np.arange(N_FIELDS) * per
+        )
     w = rng.normal(0, 0.3, n_feats)
     logit = w[ids].sum(axis=1) + rng.normal(0, 1, N_SAMPLES)
     y = (logit > 0).astype(int)
+    numeric = (
+        rng.random(N_SAMPLES).round(6) if variant == "numeric" else None
+    )
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         for i in range(N_SAMPLES):
             toks = [str(y[i])] + [
                 f"{c}:{ids[i, c]}:1" for c in range(N_FIELDS)
             ]
+            if numeric is not None:
+                # real-valued numeric feature in field 0 (zero values are
+                # dropped by the parse contract, so floor at 1e-6)
+                toks[1] = f"0:{ids[i, 0]}:{max(numeric[i], 1e-6):.6f}"
             f.write(" ".join(toks) + "\n")
     os.replace(tmp, path)
     return path
+
+
+def data_stats(path: str, batch: int = 8192) -> dict:
+    """Host-side realism metrics over the first ~16 batches: scatter dedup
+    ratio (unique ids / occurrences per batch — drives the update's
+    aggregation win) and the delta-encode hit rate (fraction of batches
+    whose per-column id ranges fit the uint16 delta encoding)."""
+    from ftrl_ffm_tpu.data.stream import StreamReader
+
+    reader = StreamReader(path, "libffm", batch, N_FIELDS, 10**9, N_FIELDS,
+                          log_every=0)
+    uniq_ratios, delta_hits, n = [], 0, 0
+    for arrays in reader.batches():
+        feats = arrays[1]
+        uniq_ratios.append(np.unique(feats).size / feats.size)
+        lo = feats.min(axis=0)
+        hi = feats.max(axis=0)
+        delta_hits += bool(((hi - lo) <= 65534).all())
+        n += 1
+        if n >= 16:
+            break
+    return {
+        "dedup_ratio": round(float(np.mean(uniq_ratios)), 4),
+        "delta_hit_rate": round(delta_hits / max(n, 1), 4),
+    }
 
 
 def run_row(row: str) -> dict:
@@ -62,7 +113,8 @@ def run_row(row: str) -> dict:
     from ftrl_ffm_tpu.train import Trainer
 
     n_feats = 1_000_000 if row == "ffm1m" else 100_000
-    path = ensure_data(n_feats)
+    variant = row if row in ("zipf", "numeric") else "uniform"
+    path = ensure_data(n_feats, variant)
     kw = dict(
         train_data=path,
         model_type={"fm": "FM", "lr": "LR"}.get(row, "FFM"),
@@ -100,11 +152,21 @@ def run_row(row: str) -> dict:
         loss = trainer.train_epoch()
         jax.block_until_ready(trainer.state.lin_z)
         times.append(time.perf_counter() - t0)
-    return {
+    out = {
         "row": row,
         "examples_per_s": round(N_SAMPLES / min(times), 1),
         "train_loss": round(loss, 4),
     }
+    if variant != "uniform":
+        out.update(data_stats(path))
+        # which vals upload path engaged (ones marker / int8 / bf16 / f32)
+        b = next(iter(trainer._train_batches(np.random.default_rng(0))))
+        c = trainer._compact(b)
+        out["vals_upload"] = (
+            "ones-marker" if c[2].shape[-1] == 0 else str(c[2].dtype)
+        )
+        out["feats_upload"] = str(c[1].dtype)
+    return out
 
 
 def main() -> None:
