@@ -85,12 +85,22 @@ def process_byte_range(path: str, shard_index: int, shard_count: int) -> tuple[i
     return (cuts[shard_index], cuts[shard_index + 1])
 
 
-def count_lines(path: str, byte_range: Optional[tuple[int, int]] = None) -> int:
-    """Newline count in the (line-aligned) byte range — used to agree on a
-    global per-epoch step count across hosts before streaming."""
+def count_lines(
+    path: str,
+    byte_range: Optional[tuple[int, int]] = None,
+    nonblank: bool = False,
+) -> int:
+    """Line count in the (line-aligned) byte range — used to agree on a
+    global per-epoch step count across hosts before streaming.
+
+    nonblank=True counts only lines with a non-whitespace character — the
+    exact number of EXAMPLES the parsers will yield (they skip blank
+    lines); required wherever the count maps to output rows, e.g. the
+    ordered multi-host predict_file."""
     lo, hi = byte_range if byte_range else (0, os.path.getsize(path))
     n = 0
     last = b"\n"
+    carry = False  # current line has seen a non-whitespace byte
     with open(path, "rb") as f:
         f.seek(lo)
         remaining = hi - lo
@@ -99,8 +109,24 @@ def count_lines(path: str, byte_range: Optional[tuple[int, int]] = None) -> int:
             if not block:
                 break
             remaining -= len(block)
-            n += block.count(b"\n")
+            if nonblank:
+                arr = np.frombuffer(block, np.uint8)
+                nonws = (arr != 32) & (arr != 9) & (arr != 13) & (arr != 10)
+                nl = np.flatnonzero(arr == 10)
+                if nl.size:
+                    cs = np.cumsum(nonws)
+                    at = cs[nl]
+                    within = np.diff(np.concatenate([[0], at])) > 0
+                    within[0] |= carry
+                    n += int(within.sum())
+                    carry = int(cs[-1] - at[-1]) > 0
+                else:
+                    carry = carry or bool(nonws.any())
+            else:
+                n += block.count(b"\n")
             last = block[-1:]
+    if nonblank:
+        return n + (1 if carry else 0)  # final unterminated non-blank line
     if last != b"\n" and hi - lo > 0:
         n += 1  # final unterminated line
     return n

@@ -52,8 +52,12 @@ def parse_lines(
     max_nnz: int,
     n_feats: int,
     n_fields: int,
+    n_threads: int = 1,
 ) -> ParsedChunk:
-    return parse_text("\n".join(lines) + "\n", file_type, max_nnz, n_feats, n_fields)
+    return parse_text(
+        "\n".join(lines) + "\n", file_type, max_nnz, n_feats, n_fields,
+        n_threads=n_threads,
+    )
 
 
 def parse_text(

@@ -125,7 +125,12 @@ class StreamReader:
 
         def parse(lines):
             return parse_lines(
-                lines, self.file_type, self.max_nnz, self.n_feats, self.n_fields
+                lines, self.file_type, self.max_nnz, self.n_feats,
+                self.n_fields,
+                # the line path (stdin/--cmd) shares the 1-worker pool when
+                # native is available — parallelism must come from the
+                # in-library threads, like the block path
+                n_threads=self.n_parse_threads if self._native_mt else 1,
             )
 
         def parse_block(blk: bytes):

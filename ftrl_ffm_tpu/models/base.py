@@ -487,7 +487,15 @@ class Model:
             return lin
         if state.vec_n is None:
             return False
-        return zeros_among_touched(state.vec_n, state.vec_w)
+        vec_n, vec_w = state.vec_n, state.vec_w
+        cp, c = self.cfg.field_pad, self.cfg.n_fields
+        if cp > c:
+            # exclude dead lanes (slots (k, c') with c' >= n_fields): lane
+            # (0, n_fields) mirrors the LINEAR table (models/ffm.py), so
+            # counting it would report linear zeros as factor sparsity
+            genuine = (jnp.arange(vec_n.shape[-1]) % cp) < c
+            vec_n = jnp.where(genuine, vec_n, 0.0)
+        return zeros_among_touched(vec_n, vec_w)
 
     # ---- import (reference weights -> trainable state) ----
     def _import_vec_layout(self, vec_w):

@@ -606,9 +606,12 @@ class ShardedStep:
 
         if len(arrays) >= 6 and arrays[5] is not None:
             return arrays
-        f = arrays[0].shape[-1]
+        # sized from FEATS (a real feats_base is [max_nnz + 1]): fields may
+        # be the zero-width LR/FM upload, and a mismatched dummy aval would
+        # force a step recompile when the real base appears later
+        f = arrays[1].shape[-1]
         dummy = (
-            np.zeros((arrays[0].shape[0], f + 1), np.int32)
+            np.zeros((arrays[1].shape[0], f + 1), np.int32)
             if stacked
             else np.zeros(f + 1, np.int32)
         )

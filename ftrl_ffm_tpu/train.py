@@ -949,7 +949,10 @@ class Trainer:
         from ftrl_ffm_tpu.data.loader import count_lines
 
         br = self._byte_range(data_path)
-        lines_local = count_lines(data_path, br)
+        # nonblank: the count maps 1:1 to output rows, and the parsers skip
+        # blank lines — a raw newline count would shift every later
+        # process's write offsets and emit garbage rows from the padded tail
+        lines_local = count_lines(data_path, br, nonblank=True)
         counts = np.asarray(
             multihost_utils.process_allgather(
                 jnp.asarray([lines_local], jnp.int32)

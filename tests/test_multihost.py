@@ -54,6 +54,23 @@ def test_process_byte_range_partitions_exactly(tmp_path):
     assert max(got) - min(got) <= 2  # near-even split
 
 
+def test_count_lines_nonblank(tmp_path):
+    """nonblank=True must count exactly the examples the parsers yield."""
+    p = str(tmp_path / "b.ffm")
+    with open(p, "w") as f:
+        f.write("1 0:1:1\n\n0 0:2:1\n   \n\t\n1 0:3:1\n\n")
+    assert count_lines(p) == 7
+    assert count_lines(p, nonblank=True) == 3
+    # unterminated non-blank final line
+    with open(p, "a") as f:
+        f.write("0 0:4:1")
+    assert count_lines(p, nonblank=True) == 4
+    # block-boundary carry: a long blank run and a long line
+    with open(p, "w") as f:
+        f.write(" " * 100 + "\n" + "1 " + "0:1:1 " * 50 + "\n\n")
+    assert count_lines(p, nonblank=True) == 1
+
+
 def test_ranged_load_file_matches_full(tmp_path):
     path = _write_fixed_width_ffm(tmp_path / "d.ffm", n=100)
     full = load_file(path, "libffm", 4, 50, 4)
@@ -214,8 +231,15 @@ def test_two_process_ordered_predict_file_byte_identical(tmp_path):
     from ftrl_ffm_tpu.train import Trainer
 
     # 300 lines: an uneven final batch per process (150 = 128 + 22 valid)
-    # exercises cross-batch ordering and padded-tail masking
+    # exercises cross-batch ordering and padded-tail masking.  Blank lines
+    # injected: the parsers skip them, so the row counts must come from the
+    # nonblank line count or every later offset shifts (code-review fix).
     data = _write_fixed_width_ffm(tmp_path / "score.ffm", n=300)
+    content = open(data).readlines()
+    content.insert(10, "\n")
+    content.insert(200, "   \n")
+    with open(data, "w") as f:
+        f.writelines(content)
     cfg = Config(
         train_data=data, model_type="FFM", n_fields=4, n_feats=50,
         n_factors=4, batch_size=256, online=True, mesh_data=0, mesh_model=2,

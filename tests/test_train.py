@@ -200,6 +200,37 @@ def test_has_zero_weights_after_training(tmp_path):
         tr.model.has_zero_weights(tr.state, table="bogus")
 
 
+def test_has_zero_weights_factor_excludes_mirror_lane():
+    """The FFM dead-lane linear mirror lives inside vec_w: a zero LINEAR
+    weight there must not be reported as FACTOR sparsification
+    (code-review fix)."""
+    import jax.numpy as jnp
+    from ftrl_ffm_tpu.models import make_model
+
+    # n_fields=7, n_factors=16 -> field_pad=8 (one dead lane per k)
+    cfg = Config(model_type="FFM", n_feats=8, n_fields=7, n_factors=16,
+                 batch_size=8, max_nnz=4)
+    assert cfg.field_pad == 8
+    model = make_model(cfg)
+    st = model.init()
+    cp, c = cfg.field_pad, cfg.n_fields
+    lane_field = np.arange(cfg.row_width) % cp
+    genuine = lane_field < c
+    # all genuine factor coords touched and nonzero; mirror lane touched
+    # with weight 0 (a linear zero)
+    vec_n = np.where(genuine, 1.0, 0.0).astype(np.float32)
+    vec_n[cfg.n_fields] = 1.0  # lane (0, n_fields): the linear mirror
+    vec_n = np.broadcast_to(vec_n, (cfg.n_feats, cfg.row_width)).copy()
+    vec_w = np.where(genuine, 0.5, 0.0).astype(np.float32)
+    vec_w = np.broadcast_to(vec_w, (cfg.n_feats, cfg.row_width)).copy()
+    st = st._replace(vec_n=jnp.asarray(vec_n), vec_w=jnp.asarray(vec_w))
+    assert model.has_zero_weights(st, table="factor") is False
+    # a genuine zeroed factor coordinate IS reported
+    vec_w[0, 0] = 0.0
+    st = st._replace(vec_w=jnp.asarray(vec_w))
+    assert model.has_zero_weights(st, table="factor") is True
+
+
 def test_has_zero_weights_factor_lr_is_false(tmp_path):
     """LR has no factor tables: the factor check is False, not an error."""
     path = str(tmp_path / "t.svm")
