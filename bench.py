@@ -31,7 +31,10 @@ N_SAMPLES = 400_000
 N_FIELDS = 39
 N_FEATS = 100_000
 N_FACTORS = 16
-BATCH = 8192
+# B=16384 is +8.5% device-bound over 8192 (BASELINE.md batch-size note) and,
+# since the zero-width upload markers halved feeder bytes (round 3), it now
+# wins end-to-end too (244.1k vs 234.7k ex/s, best-of-3 A/B same session).
+BATCH = 16384
 DATA_PATH = "/tmp/ftrl_ffm_tpu_bench_data_400k.txt"
 
 
