@@ -260,18 +260,11 @@ def main(argv: list[str] | None = None) -> int:
         )
         info(f"checkpoint saved to {cfg.model_path}")
     if args.predict_data:
-        if multi:
-            # predict_file writes ordered per-line output and places batches
-            # single-process; a multi-host scoring pass would need every
-            # process (collective batch assembly) — run it separately with
-            # --load_model on one host
-            info(
-                "skipping --predict_data in a multi-process run; score "
-                "single-process with --load_model instead"
-            )
-        else:
-            n = trainer.predict_file(args.predict_data, args.predict_output)
-            info(f"wrote {n} predictions to {args.predict_output}")
+        # multi-process: every process joins the lockstep scoring pass
+        # (train.py::_predict_file_multihost); the coordinator writes the
+        # ordered (byte-identical) prediction file
+        n = trainer.predict_file(args.predict_data, args.predict_output)
+        info(f"wrote {n} predictions to {args.predict_output}")
     if args.export_reference_model:
         # logical_state allgathers on every process; only one writes
         lstate = trainer.logical_state

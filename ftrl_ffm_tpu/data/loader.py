@@ -170,6 +170,9 @@ def load_file(
         with cf.ThreadPoolExecutor(max_workers=n_workers) as pool:
             chunks = list(pool.map(parse_range, parts))
 
+    worst = max(int(c.nnz.max(initial=0)) for c in chunks)
+    if worst > max_nnz:
+        warn_truncation(path, worst, max_nnz)
     return ArrayDataset(
         fields=np.concatenate([c.fields for c in chunks]),
         feats=np.concatenate([c.feats for c in chunks]),

@@ -39,11 +39,17 @@ class ParsedChunk(NamedTuple):
 
 def _numbers(text: str) -> np.ndarray:
     """All whitespace-separated numbers in `text`, one vectorized pass."""
-    with warnings.catch_warnings():
-        # text-mode np.fromstring is deprecated but is by far the fastest
-        # pure-numpy tokenizer; the C++ parser replaces it on the hot path.
-        warnings.simplefilter("ignore", DeprecationWarning)
-        return np.fromstring(text, dtype=np.float64, sep=" ")
+    try:
+        with warnings.catch_warnings():
+            # text-mode np.fromstring is deprecated but is by far the
+            # fastest pure-numpy tokenizer; the C++ parser replaces it on
+            # the hot path anyway
+            warnings.simplefilter("ignore", DeprecationWarning)
+            return np.fromstring(text, dtype=np.float64, sep=" ")
+    except (AttributeError, TypeError):
+        # numpy finally removed text-mode fromstring: slower but always
+        # available (this path only runs when the native library is absent)
+        return np.array(text.split(), dtype=np.float64)
 
 
 def parse_lines(
@@ -155,10 +161,17 @@ def parse_text_numpy(
         raise ValueError(f"unknown file format: {file_type}")
     stride = 3 if file_type == "libffm" else 2
 
-    lines = text.splitlines()
+    # '\n'-only line splitting and space/tab/CR-only blank detection: the
+    # byte semantics of the native parser and count_lines(nonblank=True) —
+    # str.splitlines()/strip() would additionally treat \x0b/\x0c/\x85/
+    # U+2028 as breaks/whitespace and desync line accounting (e.g. the
+    # multi-host predict offset math) between the two parser paths
+    lines = text.split("\n")
+    if lines and not lines[-1]:
+        lines.pop()  # trailing newline artifact, not a blank line
     # tokens per line: label + stride * nnz
     colon_counts = np.array([ln.count(":") for ln in lines], dtype=np.int64)
-    keep = np.array([bool(ln.strip()) for ln in lines], dtype=bool)
+    keep = np.array([bool(ln.strip(" \t\r")) for ln in lines], dtype=bool)
     if not keep.all():
         lines = [ln for ln, k in zip(lines, keep) if k]
         colon_counts = colon_counts[keep]
@@ -224,13 +237,86 @@ def parse_text_numpy(
     return ParsedChunk(out_fields, out_feats, out_vals, y, nnz.astype(np.int32))
 
 
-def sniff_max_nnz(path: str, file_type: str, sample_lines: int = 2000) -> int:
-    """Max nnz over the first `sample_lines` lines (used when cfg.max_nnz==0)."""
-    stride_div = 2 if file_type == "libffm" else 1
-    best = 1
-    with open(path, "r") as f:
-        for i, ln in enumerate(f):
-            if i >= sample_lines:
+def warn_truncation(source: str, seen_nnz: int, max_nnz: int) -> None:
+    """Loud, once-per-source warning when samples carry more features than
+    max_nnz and are being truncated.  The reference never truncates
+    (src/data/parser.cpp parses every token), so silent truncation would be
+    a silent numerics divergence; it can only happen with an explicit
+    --max_nnz below the data's true maximum (the sniff scans whole files)."""
+    if source in _truncation_warned:
+        return
+    _truncation_warned.add(source)
+    warnings.warn(
+        f"{source}: sample(s) with up to {seen_nnz} features exceed "
+        f"max_nnz={max_nnz} and are being TRUNCATED (extra features "
+        f"dropped) — raise --max_nnz for reference-exact parsing",
+        stacklevel=2,
+    )
+
+
+_truncation_warned: set[str] = set()
+
+
+def sniff_max_nnz(path: str, file_type: str, sample_lines: int = 0) -> int:
+    """Max nnz per sample over the WHOLE file (used when cfg.max_nnz==0).
+
+    A capped sample would silently truncate any later, longer sample — the
+    reference never truncates (it parses every token, src/data/parser.cpp),
+    so the sniff must see every line.  One colon-counting pass at memchr
+    speed: the native counter when available, else a vectorized-numpy scan.
+    sample_lines > 0 restricts the scan to the first N lines (explicit
+    opt-in for huge ad-hoc inspection only)."""
+    stride = 3 if file_type == "libffm" else 2
+    if sample_lines > 0:
+        stride_div = stride - 1
+        best = 1
+        with open(path, "r") as f:
+            for i, ln in enumerate(f):
+                if i >= sample_lines:
+                    break
+                best = max(best, ln.count(":") // stride_div)
+        return best
+
+    from ftrl_ffm_tpu import native
+
+    cdll = native.lib()
+    if cdll is not None:
+        import ctypes
+
+        best = 1
+        with open(path, "rb") as f:
+            while True:
+                blk = f.read(8 << 20)
+                if not blk:
+                    break
+                if not blk.endswith(b"\n"):
+                    blk += f.readline()  # complete the split line
+                lines = ctypes.c_int64()
+                mx = ctypes.c_int64()  # already colons // (stride - 1)
+                cdll.ftrl_count_chunk(
+                    blk, len(blk), stride,
+                    ctypes.byref(lines), ctypes.byref(mx),
+                )
+                best = max(best, int(mx.value))
+        return best
+
+    best_colons = 0
+    carry = 0
+    with open(path, "rb") as f:
+        while True:
+            blk = f.read(8 << 20)
+            if not blk:
                 break
-            best = max(best, ln.count(":") // stride_div)
-    return best
+            arr = np.frombuffer(blk, np.uint8)
+            cs = np.cumsum(arr == 58)  # ':'
+            nl = np.flatnonzero(arr == 10)
+            if nl.size:
+                at = cs[nl]
+                per = np.diff(np.concatenate([[0], at]))
+                per[0] += carry
+                best_colons = max(best_colons, int(per.max()))
+                carry = int(cs[-1] - at[-1])
+            elif arr.size:
+                carry += int(cs[-1])
+    best_colons = max(best_colons, carry)  # final unterminated line
+    return max(1, best_colons // (stride - 1))

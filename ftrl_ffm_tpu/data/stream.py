@@ -204,6 +204,11 @@ class StreamReader:
                 if fut is None:
                     break
                 chunk = fut.result()
+                worst = int(chunk.nnz.max(initial=0))
+                if worst > self.max_nnz:
+                    from ftrl_ffm_tpu.data.parser import warn_truncation
+
+                    warn_truncation(str(self.path_or_file), worst, self.max_nnz)
                 arrays = (chunk.fields, chunk.feats, chunk.vals, chunk.y)
                 if carry is not None:
                     arrays = tuple(

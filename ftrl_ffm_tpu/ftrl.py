@@ -432,20 +432,18 @@ def select_update_kind(
 def select_ftrl_update(n_rows: int, row_width: int, nnz: int, mode: str = "auto"):
     """dense_ftrl_update for small tables, sparse for huge ones.
 
-    Dense costs ~8*R*D bytes of traffic and 2*R*D*4 bytes of temp HBM; sparse
-    costs ~7*nnz*D of both.  Switch to sparse when the dense accumulators
-    would be disproportionate or simply too large.
+    Derived from select_update_kind (the single source of the dense/sparse
+    thresholds — keeping a second copy here diverged once already): the
+    split-payload callers map "dense2" to dense and everything bigger
+    ("inplace"-regime tables included — the in-place form exists only on
+    the unsharded huge-table path) to the touched-rows sparse form.
+    Exception: explicit mode="inplace" keeps its historical meaning for
+    sharded/legacy callers — the dense analogue.
     """
-    if mode in ("dense", "inplace"):
-        # "inplace" is meaningful only for the unsharded huge-table path
-        # (models/base.py); sharded/legacy callers get its dense analogue
+    if mode == "inplace":
         return dense_ftrl_update
-    if mode == "sparse":
-        return sparse_ftrl_update
-    dense_temp_bytes = 2 * n_rows * max(1, row_width) * 4
-    if n_rows > 4 * nnz or dense_temp_bytes > (2 << 30):
-        return sparse_ftrl_update
-    return dense_ftrl_update
+    kind = select_update_kind(n_rows, row_width, nnz, mode)
+    return dense_ftrl_update if kind == "dense2" else sparse_ftrl_update
 
 
 def bias_update(

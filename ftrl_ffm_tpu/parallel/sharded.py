@@ -134,7 +134,7 @@ class ShardedStep:
             ),
             donate_argnums=0,
         )
-        eval_out_specs = (P(), P(), P(self._batch_axes))
+        eval_out_specs = (P(), P(), P(self._batch_axes), of_spec)
         self.eval_step = jax.jit(
             shard_map(
                 self._eval_step,
@@ -164,7 +164,7 @@ class ShardedStep:
                 self._eval_multi,
                 mesh=mesh,
                 in_specs=(sspecs, multi_bspecs),
-                out_specs=(P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), of_spec),
                 check_vma=False,
             )
         )
@@ -507,11 +507,25 @@ class ShardedStep:
         return TrainOut(new_state, logits, loss_sum, count, overflow)
 
     def _eval_logits(self, state: ModelState, batch: Batch):
+        """(logits, route_overflow or None) — the eval path must be as loud
+        about capacity drops as the train path: dropped occurrences read 0
+        weights, so losses/AUC/predictions would silently miss features."""
         ids_phys = self._phys_ids(batch.feats)
         bias_w = ftrl_weights(state.bias_n, state.bias_z, self.params)
         rt = None
         if self.mode == "route":
             rt = self._route(ids_phys)
+            jax.lax.cond(
+                rt.overflow > 0,
+                lambda o: jax.debug.print(
+                    "ftrl_ffm_tpu WARNING: routed lookup overflow during "
+                    "eval/predict - {n} occurrences read zero weights; "
+                    "raise route_capacity",
+                    n=o,
+                ),
+                lambda o: None,
+                rt.overflow,
+            )
             v = (
                 self._routed_rows(state.vec_w, rt)
                 if state.vec_w is not None
@@ -526,15 +540,18 @@ class ShardedStep:
         w_lin = self._w_lin(state, v, rt, ids_phys, batch.feats.shape)
         lin = linear_logits(w_lin, batch.vals, bias_w)
         logits, _ = self._model_logits_gg2(batch, lin, v, train=False)
-        return logits
+        overflow = (
+            jax.lax.psum(rt.overflow, self._batch_axes) if rt is not None else None
+        )
+        return logits, overflow
 
     def _eval_step(self, state: ModelState, batch: Batch):
         batch = widen_batch(batch)
-        logits = self._eval_logits(state, batch)
+        logits, overflow = self._eval_logits(state, batch)
         per_loss = binary_logloss(logits, batch.y) * batch.sample_w
         loss_sum = jax.lax.psum(jnp.sum(per_loss), self._batch_axes)
         count = jax.lax.psum(jnp.sum(batch.sample_w), self._batch_axes)
-        return loss_sum, count, logits
+        return loss_sum, count, logits, overflow
 
     # ---- multi-step (scan) bodies ----
     def _train_multi(self, state: ModelState, batches: Batch):
@@ -551,17 +568,21 @@ class ShardedStep:
     def _eval_multi(self, state: ModelState, batches: Batch):
         from ftrl_ffm_tpu.metrics import AUC_BINS as bins, StreamingAUC
 
+        route = self.mode == "route"
+
         def body(carry, b):
-            ls0, ct0, pos0, neg0 = carry
+            ls0, ct0, pos0, neg0, of0 = carry
             b = widen_batch(b)
-            logits = self._eval_logits(state, b)
+            logits, overflow = self._eval_logits(state, b)
             per_loss = binary_logloss(logits, b.y) * b.sample_w
             pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, bins)
+            of = of0 + overflow if route else of0
             return (
                 ls0 + jnp.sum(per_loss),
                 ct0 + jnp.sum(b.sample_w),
                 pos0 + pos,
                 neg0 + neg,
+                of,
             ), None
 
         init = (
@@ -569,14 +590,17 @@ class ShardedStep:
             jnp.zeros((), jnp.float32),
             jnp.zeros((bins,), jnp.float32),
             jnp.zeros((bins,), jnp.float32),
+            jnp.zeros((), jnp.int32),
         )
-        (ls, ct, pos, neg), _ = jax.lax.scan(body, init, batches)
+        (ls, ct, pos, neg, of), _ = jax.lax.scan(body, init, batches)
         ax = self._batch_axes
         return (
             jax.lax.psum(ls, ax),
             jax.lax.psum(ct, ax),
             jax.lax.psum(pos, ax),
             jax.lax.psum(neg, ax),
+            # psum'd per batch already inside _eval_logits
+            of if route else None,
         )
 
     # ---- host-side batch placement ----

@@ -202,6 +202,19 @@ class Trainer:
             getattr(self, "_fmt", None) is not None and "layout" in str(e).lower()
         )
 
+    def _call_step(self, attr: str, *args):
+        """Call the jitted step bound at `attr`, retrying ONCE without
+        layout pins on the remote-compile-cache layout mismatch (see
+        _drop_layout_pins, which rebinds the step attributes — hence the
+        attribute name, not the callable)."""
+        try:
+            return getattr(self, attr)(*args)
+        except ValueError as e:
+            if not self._is_layout_mismatch(e):
+                raise
+            self._drop_layout_pins()
+            return getattr(self, attr)(*args)
+
     # ---- multi-step (one dispatch per S batches, lax.scan) ----
     def _multi_train_impl(self, state: ModelState, batches: Batch):
         def body(st, b):
@@ -225,21 +238,21 @@ class Trainer:
             jnp.zeros((AUC_BINS,), jnp.float32),
         )
         (ls, ct, pos, neg), _ = jax.lax.scan(body, init, batches)
-        return ls, ct, pos, neg
+        return ls, ct, pos, neg, None
 
     def _eval_with_auc_sharded(self, state: ModelState, batch: Batch):
-        loss_sum, count, logits = self._sharded.eval_step(state, batch)
+        loss_sum, count, logits, overflow = self._sharded.eval_step(state, batch)
         pos, neg = StreamingAUC.bucket_counts(
             logits, batch.y, batch.sample_w, AUC_BINS
         )
-        return loss_sum, count, pos, neg
+        return loss_sum, count, pos, neg, overflow
 
     def _eval_with_auc(self, state: ModelState, batch: Batch):
         loss_sum, count, logits = self.model.eval_step(state, batch)
         pos, neg = StreamingAUC.bucket_counts(
             logits, batch.y, batch.sample_w, AUC_BINS
         )
-        return loss_sum, count, pos, neg
+        return loss_sum, count, pos, neg, None
 
     @property
     def logical_state(self) -> ModelState:
@@ -803,13 +816,9 @@ class Trainer:
             n_steps = 0
             groups = self._grouped(self._train_batches(epoch_rng), s)
             for group, real_n in self._device_feed_multi(groups):
-                try:
-                    self.state, ls, ct, of = self._train_multi(self.state, group)
-                except ValueError as e:
-                    if not self._is_layout_mismatch(e):
-                        raise
-                    self._drop_layout_pins()
-                    self.state, ls, ct, of = self._train_multi(self.state, group)
+                self.state, ls, ct, of = self._call_step(
+                    "_train_multi", self.state, group
+                )
                 sums.append((ls, ct))
                 if of is not None:
                     overflows.append(of)
@@ -818,13 +827,7 @@ class Trainer:
             self._steps_done += n_steps
         else:
             for batch in self._device_feed(self._train_batches(epoch_rng)):
-                try:
-                    out = self._train_step(self.state, batch)
-                except ValueError as e:
-                    if not self._is_layout_mismatch(e):
-                        raise
-                    self._drop_layout_pins()
-                    out = self._train_step(self.state, batch)
+                out = self._call_step("_train_step", self.state, batch)
                 self.state = out.state
                 sums.append((out.loss_sum, out.count))
                 if out.route_overflow is not None:
@@ -894,20 +897,18 @@ class Trainer:
             for arrays in reader.batches():
                 batch = self._device_batch(arrays, role="predict")
                 if self._sharded is not None:
-                    _, _, logits = self._sharded.eval_step(self.state, batch)
+                    _, _, logits, of = self._sharded.eval_step(self.state, batch)
+                    self._note_eval_overflow(of)
                 else:
-                    try:
-                        _, _, logits = self._eval_plain(self.state, batch)
-                    except ValueError as e:
-                        if not self._is_layout_mismatch(e):
-                            raise
-                        self._drop_layout_pins()
-                        _, _, logits = self._eval_plain(self.state, batch)
+                    _, _, logits = self._call_step(
+                        "_eval_plain", self.state, batch
+                    )
                 probs = np.asarray(jax.nn.sigmoid(logits), np.float64)
                 mask = np.asarray(arrays[4]) > 0  # drop padded tail samples
                 for p in probs[mask]:
                     f.write(f"{p:.6f}\n")
                 total += int(mask.sum())
+        self._flush_eval_overflow("predict")
         return total
 
     def _local_batch_rows(self, arr) -> np.ndarray:
@@ -984,7 +985,8 @@ class Trainer:
                 self._pad_to_steps(reader.batches(), n_steps)
             ):
                 batch = self._device_batch(arrays, role="predict")
-                _, _, logits = self._sharded.eval_step(self.state, batch)
+                _, _, logits, of = self._sharded.eval_step(self.state, batch)
+                self._note_eval_overflow(of)
                 local = self._local_batch_rows(jax.nn.sigmoid(logits))
                 gathered = np.asarray(multihost_utils.process_allgather(local))
                 if out_f is None:
@@ -1003,6 +1005,7 @@ class Trainer:
         finally:
             if out_f is not None:
                 out_f.close()
+        self._flush_eval_overflow("predict")
         return total
 
     @property
@@ -1054,37 +1057,69 @@ class Trainer:
             self.cfg.model_path, extra={"mid_training_step": step}
         )
 
+    def _note_eval_overflow(self, of) -> None:
+        """Route-mode eval/predict drop accounting: lazily accumulate the
+        per-batch overflow counter (a device scalar — no per-batch host
+        sync) for end-of-pass enforcement (_flush_eval_overflow)."""
+        if of is None:
+            return
+        pending = getattr(self, "_pending_eval_overflow", None)
+        self._pending_eval_overflow = of if pending is None else pending + of
+
+    def _flush_eval_overflow(self, where: str) -> int:
+        """One readback at pass end: warn loudly / raise (per
+        route_overflow_policy) if routed-bucket capacity dropped any
+        occurrences — metrics/predictions would silently miss features
+        (the eval twin of the train-path exactness guarantee)."""
+        of_dev = getattr(self, "_pending_eval_overflow", None)
+        self._pending_eval_overflow = None
+        if of_dev is None:
+            return 0
+        of = int(jax.device_get(of_dev))
+        if of:
+            msg = (
+                f"routed lookup dropped {of} occurrences during {where} "
+                f"(bucket capacity): metrics/predictions computed with "
+                f"missing features; raise --route_capacity"
+            )
+            if self._proc_id == 0:
+                print(f"WARNING: {msg}")
+            if self.cfg.route_overflow_policy == "error":
+                raise RuntimeError(msg)
+        return of
+
     def evaluate(self) -> tuple[float, float]:
         acc = LossAccumulator()
         auc = StreamingAUC(AUC_BINS)
-        results = []
+        # Running device-side accumulation: O(1) device buffers and one
+        # host readback (retaining per-batch result tuples held ~64 KB of
+        # AUC histograms per batch alive for the whole pass).
+        tot = None
+
+        def add(r):
+            nonlocal tot
+            part = r[:4]
+            tot = (
+                list(part)
+                if tot is None
+                else [a + b for a, b in zip(tot, part)]
+            )
+            if len(r) > 4:
+                self._note_eval_overflow(r[4])
+
         if self._spc > 1:
             groups = self._grouped(self._eval_batches(), self._spc)
             for group, _ in self._device_feed_multi(groups, role="eval"):
-                try:
-                    results.append(self._eval_multi(self.state, group))
-                except ValueError as e:
-                    if not self._is_layout_mismatch(e):
-                        raise
-                    self._drop_layout_pins()
-                    results.append(self._eval_multi(self.state, group))
+                add(self._call_step("_eval_multi", self.state, group))
         else:
             for batch in self._device_feed(self._eval_batches(), role="eval"):
-                try:
-                    results.append(self._eval_step(self.state, batch))
-                except ValueError as e:
-                    if not self._is_layout_mismatch(e):
-                        raise
-                    self._drop_layout_pins()
-                    results.append(self._eval_step(self.state, batch))
+                add(self._call_step("_eval_step", self.state, batch))
         self._agree_dyn("eval")
-        if not results:
+        if tot is None:
+            self._flush_eval_overflow("eval")
             return float("nan"), float("nan")
-        loss_sum = jnp.sum(jnp.stack([r[0] for r in results]))
-        count = jnp.sum(jnp.stack([r[1] for r in results]))
-        pos = jnp.sum(jnp.stack([r[2] for r in results]), axis=0)
-        neg = jnp.sum(jnp.stack([r[3] for r in results]), axis=0)
-        loss_sum, count, pos, neg = jax.device_get((loss_sum, count, pos, neg))
+        loss_sum, count, pos, neg = jax.device_get(tot)
+        self._flush_eval_overflow("eval")
         acc.update(loss_sum, count)
         auc.update(pos, neg)
         return acc.mean, auc.result()

@@ -255,6 +255,40 @@ def test_two_process_ordered_predict_file_byte_identical(tmp_path):
     assert got == want
 
 
+def test_two_process_cli_predict_writes_output(tmp_path):
+    """The CLI itself must run --predict_data under --coordinator_address
+    (it used to skip it with a warning; train.py has had a working
+    multi-host scoring path since round 3)."""
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=128)
+    out = str(tmp_path / "preds.txt")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "ftrl_ffm_tpu",
+             "--coordinator_address", coord, "--num_processes", "2",
+             "--process_id", str(p), "--train_data", data,
+             "--model_type", "FFM", "--n_fields", "4", "--n_feats", "50",
+             "--n_factors", "4", "--batch_size", "128", "--n_epochs", "1",
+             "--predict_data", data, "--predict_output", out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for p in range(2)
+    ]
+    logs = [p.communicate(timeout=540)[0].decode() for p in procs]
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"CLI worker failed:\n{log}"
+    lines = open(out).read().splitlines()
+    assert len(lines) == 128
+    assert all(0.0 <= float(x) <= 1.0 for x in lines)
+
+
 def test_two_process_route_sharded_matches_single(tmp_path):
     """The full production shape executed for real: 2 processes, tables
     row-sharded over mesh_model=2 with all_to_all routed lookups (a

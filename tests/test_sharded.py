@@ -110,7 +110,7 @@ def test_sharded_eval_matches(model_type):
     mesh = make_mesh(4, 2)
     sstate = shard_state(model.init(), mesh)
     step = ShardedStep(cfg, mesh, sstate)
-    sloss, scount, slogits = step.eval_step(sstate, step.place_batch(arrays))
+    sloss, scount, slogits, _ = step.eval_step(sstate, step.place_batch(arrays))
     np.testing.assert_allclose(float(sloss), float(loss_sum), rtol=1e-5)
     assert float(scount) == float(count)
     np.testing.assert_allclose(
