@@ -22,6 +22,7 @@ def main() -> None:
     ckpt_path = sys.argv[8] if len(sys.argv) > 8 else ""
     pred_path = sys.argv[9] if len(sys.argv) > 9 else ""
     n_epochs = int(sys.argv[10]) if len(sys.argv) > 10 else 2
+    model_type = sys.argv[11] if len(sys.argv) > 11 else "FFM"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -37,7 +38,7 @@ def main() -> None:
     cfg = Config(
         train_data=data,
         eval_data=data,
-        model_type="FFM",
+        model_type=model_type,
         n_fields=4,
         n_feats=50,
         n_factors=4,

@@ -255,6 +255,30 @@ def test_two_process_ordered_predict_file_byte_identical(tmp_path):
     assert got == want
 
 
+def test_two_process_lr_zero_width_fields(tmp_path):
+    """LR multi-host: the zero-width fields upload ([B, 0] — LR's math has
+    no field dimension) must survive cross-process global-batch assembly,
+    and losses must match a single-process LR run."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    cfg = Config(
+        train_data=data, eval_data=data, model_type="LR", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=256, n_epochs=2, online=True,
+    )
+    ref = Trainer(cfg).train()
+    for hist in _run_two_processes(
+        tmp_path, data, extra_args=(1, "auto", "", "", 2, "LR")
+    ):
+        np.testing.assert_allclose(
+            hist["train_loss"], ref["train_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_loss"], ref["eval_loss"], rtol=2e-5
+        )
+
+
 def test_two_process_cli_predict_writes_output(tmp_path):
     """The CLI itself must run --predict_data under --coordinator_address
     (it used to skip it with a warning; train.py has had a working
