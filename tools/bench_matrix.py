@@ -123,7 +123,10 @@ def run_row(row: str) -> dict:
         n_factors=16,
         online=row != "offline",
         n_epochs=1,
-        batch_size=8192,
+        # 16384 is the measured-best batch since round 3's upload markers
+        # (device +8.5% at 100k rows; at 1M rows it amortizes the fixed
+        # O(R) closed-form pass: 114.6k -> 162.9k device-bound)
+        batch_size=16384 if row in ("ffm", "ffm1m") else 8192,
         max_nnz=N_FIELDS,
         n_threads=3,
         acc_dtype=os.environ.get("ACC_DTYPE", "float32"),
