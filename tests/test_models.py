@@ -107,6 +107,65 @@ def test_b1_trajectory_matches_oracle(model_type, semantics):
         )
 
 
+@pytest.mark.parametrize("trial", range(6))
+def test_b1_trajectory_matches_oracle_random_shapes(trial):
+    """Property-style shape sweep of the oracle-trajectory parity: random
+    (n_fields, n_factors, n_feats, nnz) per trial — catches shape-dependent
+    bugs (field_pad dead lanes, odd K tiling, tiny tables) that the fixed
+    flagship shape cannot."""
+    shape_rng = np.random.default_rng(100 + trial)
+    n_fields = int(shape_rng.integers(2, 12))
+    k = int(shape_rng.choice([1, 2, 3, 4, 8, 16]))
+    n_feats = int(shape_rng.integers(20, 300))
+    nnz = int(shape_rng.integers(2, min(9, n_fields + 3)))
+    model_type = ["LR", "FM", "FFM"][trial % 3]
+
+    cfg = Config(
+        model_type=model_type, n_feats=n_feats, n_fields=n_fields,
+        n_factors=k, batch_size=1, max_nnz=nnz,
+    )
+    model = make_model(cfg)
+    state = model.init()
+
+    from ftrl_ffm_tpu.ops.layout import kmajor_to_reference
+
+    def to_ref_layout(arr):
+        if model_type == "FFM":
+            return kmajor_to_reference(
+                np.asarray(arr), n_fields, k, cfg.field_pad
+            )
+        return np.asarray(arr)
+
+    vec_init = None
+    if model_type != "LR":
+        vec_init = to_ref_layout(state.vec_w).copy()
+    oracle = Oracle(
+        model_type, n_feats, n_fields,
+        k if model_type != "LR" else 0, vec_init=vec_init,
+    )
+    rng = np.random.default_rng(200 + trial)
+    for t in range(15):
+        ids = rng.choice(n_feats, size=nnz, replace=False)
+        fl = rng.integers(0, n_fields, size=nnz)
+        vl = rng.random(nnz).astype(np.float32) + 0.1
+        y = int(rng.random() < 0.5)
+        out = model.train_step(
+            state, make_batch([(fl, ids, vl, y)], nnz, n_feats)
+        )
+        state = out.state
+        ref_logit = oracle.train(fl, ids, vl, y)
+        assert float(out.logits[0]) == pytest.approx(
+            ref_logit, rel=2e-3, abs=2e-4
+        ), f"trial {trial} step {t} ({model_type} C={n_fields} K={k})"
+    np.testing.assert_allclose(
+        np.asarray(state.lin_z), oracle.lin_z, rtol=2e-3, atol=2e-4
+    )
+    if model_type != "LR":
+        np.testing.assert_allclose(
+            to_ref_layout(state.vec_z), oracle.vec_z, rtol=2e-2, atol=2e-4
+        )
+
+
 def test_reference_semantics_factor_collapse():
     """Under exact reference semantics, factors materialize to 0 on first
     touch (z=0 -> w=0) so factor grads vanish and FFM degenerates to LR —
