@@ -118,6 +118,21 @@ class ShardedStep:
             self._batch_axes = ("data",)
             self.route_k = 0
 
+        if mesh.shape["data"] > 1:
+            width = max(1, cfg.row_width)
+            acc_bytes = 2 * self.rows_local * width * 4
+            if acc_bytes > (256 << 20):
+                import warnings
+
+                warnings.warn(
+                    f"mesh_data={mesh.shape['data']} replicates each table "
+                    f"shard and all-reduces a {acc_bytes / 1e9:.1f} GB dense "
+                    f"accumulator over the data axis EVERY step — an "
+                    f"O(rows/mesh_model) ICI leg that dominates at this "
+                    f"table size.  Scale with mesh_data=1, mesh_model=N, "
+                    f"lookup_mode=route instead (no O(table) collectives; "
+                    f"see tools/scaling_model.py)."
+                )
         sspecs = state_pspecs(state)
         bspecs = Batch(*batch_pspecs(self._batch_axes))
         of_spec = P() if self.mode == "route" else None
