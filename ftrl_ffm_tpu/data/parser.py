@@ -115,11 +115,14 @@ def parse_text_native(
 
     import ctypes
 
-    fields = np.zeros((cap, max_nnz), np.int32)
+    # np.empty throughout: the C++ parser fully initializes every row it
+    # reports (incl. padding triples), and rows [n, cap) are sliced off —
+    # zeros-memsets here cost ~5 MB per 4 MB chunk for nothing
+    fields = np.empty((cap, max_nnz), np.int32)
     feats = np.empty((cap, max_nnz), np.int32)
-    vals = np.zeros((cap, max_nnz), np.float32)
-    y = np.zeros(cap, np.float32)
-    nnz = np.zeros(cap, np.int32)
+    vals = np.empty((cap, max_nnz), np.float32)
+    y = np.empty(cap, np.float32)
+    nnz = np.empty(cap, np.int32)
     n = cdll.ftrl_parse_chunk_mt(
         raw,
         len(raw),

@@ -365,17 +365,21 @@ class Trainer:
     # from the second pass on — verified per batch, raising loudly on any
     # violation rather than desyncing.
 
+    @staticmethod
+    def _neutral_obs(f: int) -> dict:
+        return {
+            "lo": np.full(f, np.iinfo(np.int64).max, np.int64),
+            "hi": np.full(f, -1, np.int64),
+            "int8": True,
+            "bf16": True,
+            "sw": True,
+        }
+
     def _observe_dyn(self, role, feats, vals, sample_w) -> None:
         f = feats.shape[-1]
         obs = self._dyn_obs.get(role)
         if obs is None:
-            obs = self._dyn_obs[role] = {
-                "lo": np.full(f, np.iinfo(np.int64).max, np.int64),
-                "hi": np.full(f, -1, np.int64),
-                "int8": True,
-                "bf16": True,
-                "sw": True,
-            }
+            obs = self._dyn_obs[role] = self._neutral_obs(f)
         flat = feats.reshape(-1, f).astype(np.int64)
         valid = flat != self.cfg.n_feats
         any_valid = valid.any(axis=0)
@@ -421,13 +425,7 @@ class Trainer:
         from jax.experimental import multihost_utils
 
         f = self.cfg.max_nnz
-        obs = self._dyn_obs.get(role) or {
-            "lo": np.full(f, np.iinfo(np.int64).max, np.int64),
-            "hi": np.full(f, -1, np.int64),
-            "int8": True,
-            "bf16": True,
-            "sw": True,
-        }
+        obs = self._dyn_obs.get(role) or self._neutral_obs(f)
         msg = np.concatenate(
             [
                 np.array(

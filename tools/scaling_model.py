@@ -102,9 +102,7 @@ def main() -> None:
         n = d * m
         per_chip = r_["throughput"] / n
         if base is None:
-            base = per_chip * (
-                r_["total_ms"] / (r_["total_ms"] - r_["r_legs_ms"])
-            ) if False else per_chip
+            base = per_chip
         print(
             f"{f'({d},{m})':>10} {n:>6} {r_['total_ms']:9.1f} "
             f"{r_['throughput'] / 1e6:7.2f} {r_['a2a_ms']:7.1f} "
