@@ -291,13 +291,36 @@ class ShardedStep:
         return out.astype(jnp.float32)
 
     def _table_update_routed(self, n_tab, z_tab, w_tab, rt: Routing, gg2):
-        """Route combined payloads to owners, accumulate, closed-form pass."""
+        """Route combined payloads to owners, accumulate, closed-form pass.
+
+        Huge shards on a (1, N) mesh take the in-place form (z-scatter +
+        single accumulator + streamed closed-form pass,
+        ftrl.py::dense_ftrl_update_inplace): the dense [rows_local, 2D]
+        accumulator would not fit HBM at production shard sizes (e.g.
+        R=100M over 64 chips -> 7.7 GB), and with mesh_data == 1 there is
+        no cross-replica psum to forbid in-place mutation."""
         m, rl, k = self.n_shards, self.rows_local, self.route_k
         d2 = gg2.shape[-1]
         send = jnp.zeros((m * k, d2), gg2.dtype).at[rt.slot].add(gg2, mode="drop")
         pay = jax.lax.all_to_all(
             send.reshape(m, k, d2), "model", 0, 0, tiled=True
         ).reshape(m * k, d2)
+        if n_tab.ndim > 1 and self.mesh.shape["data"] == 1:
+            from ftrl_ffm_tpu.ftrl import (
+                dense_ftrl_update_inplace,
+                select_update_kind,
+            )
+
+            d = d2 // 2
+            kind = select_update_kind(
+                rl, d, pay.shape[0], self.cfg.update_mode
+            )
+            if kind == "inplace":
+                # rt.recv's empty-slot sentinel is rl == shape[0]: dropped
+                return dense_ftrl_update_inplace(
+                    n_tab, z_tab, w_tab, rt.recv,
+                    pay[:, :d], pay[:, d:], self.params,
+                )
         acc = jnp.zeros((rl, d2), gg2.dtype).at[rt.recv].add(pay, mode="drop")
         acc = jax.lax.psum(acc, "data")
         if n_tab.ndim == 1:

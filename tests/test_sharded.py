@@ -177,6 +177,46 @@ def test_sharded_sparse_update_matches_single_device(model_type):
         )
 
 
+@pytest.mark.parametrize("model_type", ["FM", "FFM"])
+def test_route_inplace_update_matches_single_device(model_type):
+    """Huge-shard route mode on a (1, N) mesh takes the in-place update
+    (z-scatter + single accumulator + closed-form pass) instead of the
+    dense [rows_local, 2D] accumulator — must equal the single-device
+    step."""
+    cfg = _cfg(model_type, lookup_mode="route", update_mode="inplace")
+    model = make_model(cfg)
+    rng = np.random.default_rng(21)
+    arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats,
+                           cfg.n_fields)
+    batch = Batch(*(jnp.asarray(a) for a in arrays))
+    out1 = model.train_step(model.init(), batch)
+
+    mesh = make_mesh(1, 8)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    assert step.mode == "route"
+    sstate, logits, loss_sum, count, of = step.train_step(
+        sstate, step.place_batch(arrays)
+    )
+    assert int(of) == 0
+    lstate = unshard_state(sstate, 8, cfg.n_feats)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lstate.vec_z), np.asarray(out1.state.vec_z),
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lstate.vec_n), np.asarray(out1.state.vec_n),
+        rtol=1e-4, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lstate.lin_z), np.asarray(out1.state.lin_z),
+        rtol=1e-4, atol=1e-7,
+    )
+
+
 def test_route_hot_id_exact_even_at_tiny_capacity():
     """Unique-id routing makes duplicate-id skew incapable of overflow: a
     batch where EVERY occurrence is the same id (the pathological hot-key
