@@ -73,8 +73,9 @@ class Config:
     # dead-lane mirror it also skips the separate linear-table scatter and
     # reconciles lin tables from the mirror at checkpoint/export
     # boundaries, see models/base.py::train_step).  In lookup_mode=route
-    # the update is always the dense local-shard accumulator (table shards
-    # are 1/mesh_model of the rows).
+    # the update is the dense local-shard accumulator while it fits, and
+    # the in-place form for huge shards on (1, N) meshes
+    # (parallel/sharded.py::_table_update_routed).
     update_mode: str = "auto"
     # Gradient-accumulator dtype for the combined (g || g^2) payload +
     # scatter accumulator on the Pallas path: "bfloat16" halves the bytes of

@@ -29,12 +29,15 @@ those ids' occurrences, is counted per step (TrainOut.route_overflow,
 surfaced in Trainer history), warned via jax.debug, and optionally raised
 (Config.route_overflow_policy).
 
-The update in both modes is the dense-accumulator form: scatter-add combined
+The update defaults to the dense-accumulator form: scatter-add combined
 (g, g^2) into local-table-shaped accumulators, `psum` over "data" completes
 the global per-feature sums, one fused elementwise pass applies the
 closed-form FTRL step — one deterministic update per feature id per step, no
-races by construction.  All collectives are XLA (`psum`, `all_to_all`) and
-ride ICI on a real slice.
+races by construction.  Huge shards switch forms: replicate mode all_gathers
+the (id, payload) stream and updates touched rows only; route mode on a
+(1, N) mesh (no cross-replica psum) takes the in-place z-scatter + single
+accumulator + streamed closed-form pass.  All collectives are XLA (`psum`,
+`all_to_all`) and ride ICI on a real slice.
 """
 
 from __future__ import annotations
