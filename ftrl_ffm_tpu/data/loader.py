@@ -15,7 +15,12 @@ from typing import Iterator, NamedTuple, Optional
 
 import numpy as np
 
-from ftrl_ffm_tpu.data.parser import ParsedChunk, parse_text, sniff_max_nnz
+from ftrl_ffm_tpu.data.parser import (
+    ParsedChunk,
+    parse_text,
+    sniff_max_nnz,
+    warn_truncation,
+)
 
 
 class ArrayDataset(NamedTuple):

@@ -86,6 +86,42 @@ def test_sniff_max_nnz(tmp_path):
     assert sniff_max_nnz(str(p), "libsvm") == 3
 
 
+def test_sniff_max_nnz_scans_whole_file(tmp_path):
+    """The sniff must see every line: a capped sample would silently
+    truncate longer later samples (the reference never truncates)."""
+    p = tmp_path / "long.ffm"
+    with open(p, "w") as f:
+        for _ in range(3000):
+            f.write("1 0:1:1\n")
+        f.write("0 " + " ".join(f"{c}:{c}:1" for c in range(12)) + "\n")
+    assert sniff_max_nnz(str(p), "libffm") == 12
+    # legacy capped scan misses it (explicit opt-in only)
+    assert sniff_max_nnz(str(p), "libffm", sample_lines=2000) == 1
+
+
+def test_explicit_max_nnz_truncation_warns(tmp_path):
+    """An explicit --max_nnz below the data's true maximum truncates — and
+    must warn loudly, once per source (the reference parses every token)."""
+    import pytest as _pytest
+
+    from ftrl_ffm_tpu.data.loader import load_file
+    from ftrl_ffm_tpu.data.parser import _truncation_warned
+    from ftrl_ffm_tpu.data.stream import StreamReader
+
+    p = str(tmp_path / "t.ffm")
+    with open(p, "w") as f:
+        for i in range(8):
+            f.write(f"1 0:{i}:1 1:{i + 8}:1 2:{i + 16}:1\n")
+    _truncation_warned.clear()
+    with _pytest.warns(UserWarning, match="TRUNCATED"):
+        load_file(p, "libffm", max_nnz=2, n_feats=50, n_fields=4)
+    _truncation_warned.clear()
+    with _pytest.warns(UserWarning, match="TRUNCATED"):
+        reader = StreamReader(p, "libffm", 4, 2, 50, 4, log_every=0)
+        list(reader.batches())
+    _truncation_warned.clear()
+
+
 # ---------------------------------------------------------------- native path
 def test_native_parser_matches_numpy():
     """C++ fast path == numpy ground truth on mixed/quirky input."""
