@@ -78,6 +78,7 @@ class Trainer:
             )
         self.cfg = cfg
         self.model = make_model(cfg)
+        self._warn_if_oversized()
         self.state = state if state is not None else self.model.init()
 
         self._steps_done = 0
@@ -171,6 +172,56 @@ class Trainer:
         # observations from the first full pass and the agreed contract
         self._dyn_obs: dict = {}
         self._dyn_agreed: dict = {}
+
+    def _warn_if_oversized(self) -> None:
+        """Preflight HBM estimate: a raw XLA RESOURCE_EXHAUSTED from deep in
+        the first train step is a bad way to learn the table doesn't fit.
+        Estimates state + update working set per device and warns with
+        guidance (shard rows / smaller batch) when it approaches the
+        device's memory.  Warning only — the estimate is approximate."""
+        cfg = self.cfg
+        try:
+            dev = jax.devices()[0]
+            if dev.platform not in ("tpu",):
+                return
+            stats = {}
+            try:
+                stats = dev.memory_stats() or {}
+            except Exception:
+                pass
+            limit = stats.get("bytes_limit", 16 << 30)
+        except Exception:
+            return
+        from ftrl_ffm_tpu.ftrl import select_update_kind
+
+        w = max(1, cfg.row_width)
+        shards = max(1, cfg.mesh_model)
+        r_loc = -(-cfg.n_feats // shards)
+        nnz = cfg.batch_size * max(1, cfg.max_nnz)
+        w_bytes = 2 if cfg.table_dtype == "bfloat16" else 4
+        state_b = r_loc * w * (4 + 4 + w_bytes) + 3 * r_loc * 4
+        kind = select_update_kind(r_loc, w, nnz, cfg.update_mode)
+        if kind == "dense2":
+            work_b = 2 * r_loc * w * 4
+        elif kind == "inplace":
+            work_b = r_loc * w * 4
+        else:
+            work_b = 0
+        # gathered rows + (g, g^2) payloads for the local batch slice
+        n_dev = max(1, shards * max(1, cfg.mesh_data))
+        nnz_loc = nnz if cfg.mesh_data <= 1 and shards <= 1 else nnz // n_dev
+        work_b += 3 * nnz_loc * w * 4
+        total = state_b + work_b
+        if total > 0.9 * limit:
+            import warnings
+
+            warnings.warn(
+                f"estimated per-device HBM need ~{total / 1e9:.1f} GB "
+                f"(state {state_b / 1e9:.1f} + update working set "
+                f"{work_b / 1e9:.1f}) vs ~{limit / 1e9:.0f} GB available — "
+                f"expect RESOURCE_EXHAUSTED.  Shard rows over --mesh_model, "
+                f"reduce --batch_size, or set --table_dtype bfloat16."
+            )
 
     def _drop_layout_pins(self) -> None:
         """Rebuild the jitted steps without entry-layout pins.
