@@ -97,6 +97,27 @@ def _resolve_lookup_mode(cfg: Config, mesh: Mesh) -> str:
     return "route" if cfg.batch_size % n_dev == 0 else "replicate"
 
 
+def route_slots(cfg: Config, n_shards: int, mesh_data: int) -> int:
+    """K: route-mode bucket slots per (device, peer-shard) pair.
+
+    Single source of ShardedStep.route_k's sizing formula, shared with the
+    preflight HBM estimator (train.py::estimate_hbm_bytes) so the warning
+    models the same buffers the step actually allocates."""
+    n_local = cfg.batch_size // (mesh_data * n_shards) * max(1, cfg.max_nnz)
+    k = int(n_local / n_shards * cfg.route_capacity)
+    return max(8, min(n_local, -(-k // 8) * 8))
+
+
+def resolves_to_route(cfg: Config) -> bool:
+    """Whether this config's mesh would run routed lookups (pure config
+    twin of _resolve_lookup_mode, for preflight estimation)."""
+    m = max(1, cfg.mesh_model)
+    if m == 1 or cfg.lookup_mode == "replicate":
+        return False
+    n_dev = max(1, cfg.mesh_data) * m
+    return cfg.lookup_mode == "route" or cfg.batch_size % n_dev == 0
+
+
 class ShardedStep:
     """Jitted sharded train/eval steps for one model config on one mesh."""
 
@@ -110,13 +131,7 @@ class ShardedStep:
         self.mode = _resolve_lookup_mode(cfg, mesh)
         if self.mode == "route":
             self._batch_axes = ("data", "model")
-            n_local = (
-                cfg.batch_size
-                // (mesh.shape["data"] * self.n_shards)
-                * max(1, cfg.max_nnz)
-            )
-            k = int(n_local / self.n_shards * cfg.route_capacity)
-            self.route_k = max(8, min(n_local, -(-k // 8) * 8))
+            self.route_k = route_slots(cfg, self.n_shards, mesh.shape["data"])
         else:
             self._batch_axes = ("data",)
             self.route_k = 0
@@ -318,7 +333,13 @@ class ShardedStep:
             kind = select_update_kind(
                 rl, d, pay.shape[0], self.cfg.update_mode
             )
-            if kind == "inplace":
+            if kind in ("inplace", "sparse2"):
+                # sparse2-regime shards (> the in-place single-accumulator
+                # budget) also take this form: it allocates ONE [rl, D]
+                # accumulator — half the dense [rl, 2D] fall-through below,
+                # which is exactly the footprint the largest shards cannot
+                # afford.  (A routed sorted-sparse form was measured strictly
+                # slower at every shard size — BASELINE.md "Lazy-w at R=1M".)
                 # rt.recv's empty-slot sentinel is rl == shape[0]: dropped
                 return dense_ftrl_update_inplace(
                     n_tab, z_tab, w_tab, rt.recv,

@@ -51,6 +51,51 @@ def enable_compilation_cache() -> None:
             pass
 
 
+def estimate_hbm_bytes(cfg: Config) -> dict:
+    """Per-device HBM estimate for the train step: resident state, update
+    working set, and (route mode) the all_to_all bucket buffers.
+
+    Pure function of the config so its terms are unit-testable; the
+    preflight warning (_warn_if_oversized) compares `total` against the
+    device's reported limit.  Approximate by design — it models the big
+    allocations (tables, accumulators, gathered rows, route buckets), not
+    XLA's temp reuse."""
+    from ftrl_ffm_tpu.ftrl import select_update_kind
+    from ftrl_ffm_tpu.parallel.sharded import resolves_to_route, route_slots
+
+    w = max(1, cfg.row_width)
+    shards = max(1, cfg.mesh_model)
+    mesh_data = max(1, cfg.mesh_data)
+    r_loc = -(-cfg.n_feats // shards)
+    nnz = cfg.batch_size * max(1, cfg.max_nnz)
+    w_bytes = 2 if cfg.table_dtype == "bfloat16" else 4
+    # resident: factor n/z (f32) + w (table_dtype) + three linear tables
+    state_b = r_loc * w * (4 + 4 + w_bytes) + 3 * r_loc * 4
+    routed = resolves_to_route(cfg)
+    n_dev = shards * mesh_data
+    nnz_loc = nnz if n_dev == 1 else nnz // n_dev
+    # the table update aggregates M*K routed slots (route) or the local
+    # occurrence stream (otherwise)
+    mk = shards * route_slots(cfg, shards, mesh_data) if routed else 0
+    kind = select_update_kind(r_loc, w, mk or nnz_loc, cfg.update_mode)
+    if kind == "dense2":
+        work_b = 2 * r_loc * w * 4
+    else:  # inplace and the routed sparse2 fall-through both allocate one
+        work_b = r_loc * w * 4  # table-shaped accumulator (sharded.py)
+    # gathered rows + (g, g^2) payloads for the local batch slice
+    work_b += 3 * nnz_loc * w * 4
+    # route mode: send/recv bucket pairs for the lookup leg ([M*K, w] x2)
+    # and the update leg ([M*K, 2w] x2) — sized by route_capacity, so an
+    # oversized route config can OOM in the buckets before the tables do
+    route_b = (2 * w + 2 * 2 * w) * mk * 4 if routed else 0
+    return {
+        "state": state_b,
+        "work": work_b,
+        "route": route_b,
+        "total": state_b + work_b + route_b,
+    }
+
+
 class Trainer:
     def __init__(self, cfg: Config, state: Optional[ModelState] = None):
         enable_compilation_cache()
@@ -179,7 +224,6 @@ class Trainer:
         Estimates state + update working set per device and warns with
         guidance (shard rows / smaller batch) when it approaches the
         device's memory.  Warning only — the estimate is approximate."""
-        cfg = self.cfg
         try:
             dev = jax.devices()[0]
             if dev.platform not in ("tpu",):
@@ -192,35 +236,22 @@ class Trainer:
             limit = stats.get("bytes_limit", 16 << 30)
         except Exception:
             return
-        from ftrl_ffm_tpu.ftrl import select_update_kind
-
-        w = max(1, cfg.row_width)
-        shards = max(1, cfg.mesh_model)
-        r_loc = -(-cfg.n_feats // shards)
-        nnz = cfg.batch_size * max(1, cfg.max_nnz)
-        w_bytes = 2 if cfg.table_dtype == "bfloat16" else 4
-        state_b = r_loc * w * (4 + 4 + w_bytes) + 3 * r_loc * 4
-        kind = select_update_kind(r_loc, w, nnz, cfg.update_mode)
-        if kind == "dense2":
-            work_b = 2 * r_loc * w * 4
-        elif kind == "inplace":
-            work_b = r_loc * w * 4
-        else:
-            work_b = 0
-        # gathered rows + (g, g^2) payloads for the local batch slice
-        n_dev = max(1, shards * max(1, cfg.mesh_data))
-        nnz_loc = nnz if cfg.mesh_data <= 1 and shards <= 1 else nnz // n_dev
-        work_b += 3 * nnz_loc * w * 4
-        total = state_b + work_b
-        if total > 0.9 * limit:
+        est = estimate_hbm_bytes(self.cfg)
+        if est["total"] > 0.9 * limit:
             import warnings
 
+            route_note = (
+                f" + route buckets {est['route'] / 1e9:.1f}"
+                if est["route"]
+                else ""
+            )
             warnings.warn(
-                f"estimated per-device HBM need ~{total / 1e9:.1f} GB "
-                f"(state {state_b / 1e9:.1f} + update working set "
-                f"{work_b / 1e9:.1f}) vs ~{limit / 1e9:.0f} GB available — "
-                f"expect RESOURCE_EXHAUSTED.  Shard rows over --mesh_model, "
-                f"reduce --batch_size, or set --table_dtype bfloat16."
+                f"estimated per-device HBM need ~{est['total'] / 1e9:.1f} GB "
+                f"(state {est['state'] / 1e9:.1f} + update working set "
+                f"{est['work'] / 1e9:.1f}{route_note}) vs "
+                f"~{limit / 1e9:.0f} GB available — expect "
+                f"RESOURCE_EXHAUSTED.  Shard rows over --mesh_model, reduce "
+                f"--batch_size, or set --table_dtype bfloat16."
             )
 
     def _drop_layout_pins(self) -> None:
@@ -1045,12 +1076,26 @@ class Trainer:
                     valid = min(max(int(counts[p]) - base, 0), lb)
                     if valid <= 0:
                         continue
-                    out_f.seek(row_bytes * (int(starts[p]) + base))
-                    out_f.write(
-                        "".join(
-                            f"{float(v):.6f}\n" for v in gathered[p, :valid]
-                        ).encode()
+                    probs = gathered[p, :valid]
+                    # the seek-write layout is only sound if every line is
+                    # exactly row_bytes — a non-finite probability (NaN
+                    # logits from a degenerate state) formats shorter and
+                    # would silently misalign every subsequent offset
+                    if not np.isfinite(probs).all():
+                        raise FloatingPointError(
+                            f"non-finite probabilities in predict batch "
+                            f"{b_idx} (process {p}) — the model state is "
+                            "degenerate; refusing to write a misaligned "
+                            "output file"
+                        )
+                    payload = "".join(
+                        f"{float(v):.6f}\n" for v in probs
+                    ).encode()
+                    assert len(payload) == row_bytes * valid, (
+                        "fixed-width predict line invariant violated"
                     )
+                    out_f.seek(row_bytes * (int(starts[p]) + base))
+                    out_f.write(payload)
         finally:
             if out_f is not None:
                 out_f.close()

@@ -217,6 +217,40 @@ def test_route_inplace_update_matches_single_device(model_type):
     )
 
 
+@pytest.mark.parametrize("model_type", ["FM", "FFM"])
+def test_route_sparse2_takes_inplace_form_and_matches(model_type):
+    """Shards in the sparse2 regime (beyond the in-place accumulator
+    budget) on the (1, N) routed path must take the in-place update too —
+    the dense [rows_local, 2D] fall-through is twice the footprint the
+    in-place branch exists to avoid (ADVICE r3).  Semantics identical."""
+    cfg = _cfg(model_type, lookup_mode="route", update_mode="sparse")
+    model = make_model(cfg)
+    rng = np.random.default_rng(33)
+    arrays = _random_batch(rng, cfg.batch_size, cfg.max_nnz, cfg.n_feats,
+                           cfg.n_fields)
+    batch = Batch(*(jnp.asarray(a) for a in arrays))
+    out1 = model.train_step(model.init(), batch)
+
+    mesh = make_mesh(1, 8)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    assert step.mode == "route"
+    sstate, logits, loss_sum, count, of = step.train_step(
+        sstate, step.place_batch(arrays)
+    )
+    assert int(of) == 0
+    lstate = unshard_state(sstate, 8, cfg.n_feats)
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(out1.logits), rtol=1e-5, atol=1e-6
+    )
+    for name in ("vec_z", "vec_n", "lin_z", "lin_n"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(lstate, name)),
+            np.asarray(getattr(out1.state, name)),
+            rtol=1e-4, atol=1e-7, err_msg=name,
+        )
+
+
 def test_route_hot_id_exact_even_at_tiny_capacity():
     """Unique-id routing makes duplicate-id skew incapable of overflow: a
     batch where EVERY occurrence is the same id (the pathological hot-key

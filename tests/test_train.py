@@ -592,3 +592,55 @@ def test_cli_rejects_cmd_with_stdin_predict(capsys):
                "--predict_data", "-"])
     assert rc == 2
     assert "both read stdin" in capsys.readouterr().err
+
+
+def test_hbm_estimator_route_terms():
+    """estimate_hbm_bytes must model route mode's bucket buffers: the
+    send/recv pairs for lookup ([M*K, w] x2) and update ([M*K, 2w] x2) are
+    sized by route_capacity and can OOM before the tables do (ADVICE r3).
+    Pure-function unit test of the estimator's terms (VERDICT r3 #6)."""
+    from ftrl_ffm_tpu.parallel.sharded import route_slots
+    from ftrl_ffm_tpu.train import estimate_hbm_bytes
+
+    kw = dict(
+        model_type="FFM", n_feats=1_000_000, n_fields=39, n_factors=16,
+        max_nnz=39, batch_size=8192, mesh_model=8,
+    )
+    rep = estimate_hbm_bytes(Config(**kw, lookup_mode="replicate"))
+    assert rep["route"] == 0
+    w = Config(**kw).row_width
+    r_loc = -(-1_000_000 // 8)
+    # state: factor n/z f32 + w f32 + three linear tables
+    assert rep["state"] == r_loc * w * 12 + 3 * r_loc * 4
+
+    cfg_route = Config(**kw, lookup_mode="route")
+    est = estimate_hbm_bytes(cfg_route)
+    mk = 8 * route_slots(cfg_route, 8, 1)
+    assert est["route"] == 6 * w * mk * 4
+    assert est["total"] == est["state"] + est["work"] + est["route"]
+    # capacity scales the bucket term (the exact failure mode ADVICE named:
+    # oversized route configs OOM in the buckets with no warning)
+    est4 = estimate_hbm_bytes(Config(**kw, lookup_mode="route",
+                                     route_capacity=4.0))
+    assert est4["route"] > 1.9 * est["route"]
+    # auto resolves to route when shapes divide -> same bucket term
+    est_auto = estimate_hbm_bytes(Config(**kw, lookup_mode="auto"))
+    assert est_auto["route"] == est["route"]
+
+
+def test_hbm_estimator_single_device_regimes():
+    """Unsharded estimator terms: dense2's [R, 2D] accumulator for small
+    tables, the single [R, D] in-place accumulator for huge ones."""
+    from ftrl_ffm_tpu.train import estimate_hbm_bytes
+
+    kw = dict(model_type="FFM", n_fields=39, n_factors=16, max_nnz=39,
+              batch_size=8192)
+    small = Config(**kw, n_feats=100_000)
+    big = Config(**kw, n_feats=1_200_000)
+    w = small.row_width
+    est_s = estimate_hbm_bytes(small)
+    est_b = estimate_hbm_bytes(big)
+    nnz = 8192 * 39
+    assert est_s["work"] == 2 * 100_000 * w * 4 + 3 * nnz * w * 4
+    assert est_b["work"] == 1_200_000 * w * 4 + 3 * nnz * w * 4
+    assert est_s["route"] == est_b["route"] == 0
