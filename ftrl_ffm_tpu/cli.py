@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(e.g. a model trained by the C++ binary)")
     p.add_argument("--export_reference_model", default="",
                    help="also export weights as a reference-compatible zstd blob")
+    p.add_argument("--import_reference_text_model", default="",
+                   help="warm-start from the reference's plain-text model "
+                        "format (FM/FFM factor rows; src/model/ffm.cpp:179)")
+    p.add_argument("--export_reference_text_model", default="",
+                   help="also export weights in the reference's plain-text "
+                        "model format (src/model/ffm.cpp:161)")
     p.add_argument("--profile_dir", default="",
                    help="write a jax.profiler trace of epoch 1 here")
     p.add_argument("--predict_data", default="",
@@ -134,6 +140,8 @@ _NON_CONFIG_FLAGS = (
     "auto_resume",
     "import_reference_model",
     "export_reference_model",
+    "import_reference_text_model",
+    "export_reference_text_model",
     "profile_dir",
     "predict_data",
     "predict_output",
@@ -157,8 +165,16 @@ def main(argv: list[str] | None = None) -> int:
         )
     kwargs = {k: v for k, v in vars(args).items() if k not in _NON_CONFIG_FLAGS}
     cfg = Config(**kwargs)
+    if args.import_reference_model and args.import_reference_text_model:
+        print(
+            "error: --import_reference_model and "
+            "--import_reference_text_model are mutually exclusive",
+            file=sys.stderr,
+        )
+        return 2
+    any_import = args.import_reference_model or args.import_reference_text_model
     serve_only = (
-        bool(args.load_model or args.import_reference_model)
+        bool(args.load_model or any_import)
         and bool(args.predict_data or cfg.eval_data)
         and not cfg.train_data
         and not cfg.cmd
@@ -211,9 +227,15 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.exists(cfg.model_path):
             load_from = cfg.model_path
     if load_from:
-        from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
+        from ftrl_ffm_tpu.io.checkpoint import (
+            load_checkpoint,
+            validate_header_compat,
+        )
 
         state, extra = load_checkpoint(load_from)
+        # fail loud on a config mismatch (n_feats/n_fields/n_factors/
+        # table_dtype/field_pad...) before shapes can silently reinterpret
+        validate_header_compat(cfg, extra, load_from)
         info(f"resumed from {load_from} (step {int(state.step)})")
 
     t0 = time.perf_counter()
@@ -224,19 +246,42 @@ def main(argv: list[str] | None = None) -> int:
         cfg.file_type = cfg.file_type or detect_file_type(args.predict_data)
         cfg.max_nnz = sniff_max_nnz(args.predict_data, cfg.file_type)
     trainer = Trainer(cfg, state=state)
-    if args.import_reference_model:
-        from ftrl_ffm_tpu.io.checkpoint import import_reference_model
 
-        bias, lin_w, vec_w = import_reference_model(
-            # reference blobs store the LOGICAL row width (C*K, unpadded)
-            args.import_reference_model, cfg.n_feats, cfg.ref_row_width
-        )
+    def warm_start(bias, lin_w, vec_w, src):
         trainer.state = trainer.model.init_from_weights(bias, lin_w, vec_w)
         if trainer._sharded is not None:
             from ftrl_ffm_tpu.parallel import shard_state
 
             trainer.state = shard_state(trainer.state, trainer._sharded.mesh)
-        info(f"imported reference model from {args.import_reference_model}")
+        info(f"imported reference model from {src}")
+
+    if args.import_reference_model:
+        from ftrl_ffm_tpu.io.checkpoint import import_reference_model
+
+        warm_start(
+            *import_reference_model(
+                # reference blobs store the LOGICAL row width (C*K, unpadded)
+                args.import_reference_model, cfg.n_feats, cfg.ref_row_width
+            ),
+            args.import_reference_model,
+        )
+    if args.import_reference_text_model:
+        if cfg.ref_row_width == 0:
+            print(
+                "error: --import_reference_text_model needs a factor model "
+                "(FM/FFM) — the text format has factor rows "
+                "(reference src/model/ffm.cpp:179-200)",
+                file=sys.stderr,
+            )
+            return 2
+        from ftrl_ffm_tpu.io.checkpoint import import_reference_text_model
+
+        warm_start(
+            *import_reference_text_model(
+                args.import_reference_text_model, cfg.n_feats, cfg.ref_row_width
+            ),
+            args.import_reference_text_model,
+        )
     with trainer_out:
         if cfg.train_data or cfg.cmd:
             trainer.train(profile_dir=args.profile_dir or None)
@@ -265,21 +310,41 @@ def main(argv: list[str] | None = None) -> int:
         # ordered (byte-identical) prediction file
         n = trainer.predict_file(args.predict_data, args.predict_output)
         info(f"wrote {n} predictions to {args.predict_output}")
-    if args.export_reference_model:
+    if args.export_reference_model or args.export_reference_text_model:
+        if args.export_reference_text_model and cfg.ref_row_width == 0:
+            print(
+                "error: --export_reference_text_model needs a factor model "
+                "(FM/FFM) — the text format has factor rows",
+                file=sys.stderr,
+            )
+            return 2
         # logical_state allgathers on every process; only one writes
         lstate = trainer.logical_state
         if not multi or trainer._proc_id == 0:
-            from ftrl_ffm_tpu.io.checkpoint import export_reference_model
-
             bias, lin_w, vec_w = trainer.model.materialize_weights(lstate)
-            export_reference_model(
-                args.export_reference_model, float(bias), lin_w, vec_w,
-                level=cfg.compress_level,
-            )
-            info(
-                f"reference-format model saved to "
-                f"{args.export_reference_model}"
-            )
+            if args.export_reference_model:
+                from ftrl_ffm_tpu.io.checkpoint import export_reference_model
+
+                export_reference_model(
+                    args.export_reference_model, float(bias), lin_w, vec_w,
+                    level=cfg.compress_level,
+                )
+                info(
+                    f"reference-format model saved to "
+                    f"{args.export_reference_model}"
+                )
+            if args.export_reference_text_model:
+                from ftrl_ffm_tpu.io.checkpoint import (
+                    export_reference_text_model,
+                )
+
+                export_reference_text_model(
+                    args.export_reference_text_model, float(bias), lin_w, vec_w
+                )
+                info(
+                    f"reference text-format model saved to "
+                    f"{args.export_reference_text_model}"
+                )
     return 0
 
 

@@ -32,6 +32,70 @@ from ftrl_ffm_tpu.models.base import ModelState
 MAGIC = b"FTRLTPU1"
 
 
+class IncompatibleStateError(ValueError):
+    """A loaded checkpoint / imported model does not match the current
+    model-defining config.
+
+    The fail-loud analogue of the reference's CHECK/*_orDie file-op style
+    (reference: src/compression/file_ops.h:23-37): a state restored under
+    different --n_feats/--n_fields/--n_factors/--table_dtype would either
+    die with an opaque XLA shape error or — worse, on a field_pad change —
+    silently re-interpret factor-row lanes."""
+
+
+# Config keys that define the model's table shapes and semantics.  field_pad
+# and row_width are derived but persisted explicitly: the padding heuristic
+# deciding lane layout must match bit-for-bit on resume, even if the
+# heuristic itself changes between versions.
+_SIG_KEYS = (
+    "model_type",
+    "n_feats",
+    "n_fields",
+    "n_factors",
+    "table_dtype",
+    "factor_semantics",
+)
+
+
+def model_signature(cfg) -> dict:
+    """The model-defining subset of a Config, as stored in checkpoint
+    headers and compared on every resume/import."""
+    sig = {k: getattr(cfg, k) for k in _SIG_KEYS}
+    sig["field_pad"] = cfg.field_pad
+    sig["row_width"] = cfg.row_width
+    return sig
+
+
+def validate_header_compat(cfg, extra: dict, source: str) -> None:
+    """Raise IncompatibleStateError if `extra` (a checkpoint header) records
+    a model config that mismatches `cfg`.
+
+    Headers written by Trainer.save_checkpoint carry "model_config"
+    (model_signature); older headers carry only the CLI "config" dict —
+    compare whatever model-defining keys are present.  Headers with
+    neither (hand-built checkpoints) pass; the Trainer's structural shape
+    validation still applies."""
+    saved = (extra or {}).get("model_config")
+    if saved is None:
+        c = (extra or {}).get("config") or {}
+        saved = {k: c[k] for k in _SIG_KEYS if k in c}
+        if "model_type" in saved:  # Config.__post_init__ upper-cases
+            saved["model_type"] = str(saved["model_type"]).upper()
+    if not saved:
+        return
+    cur = model_signature(cfg)
+    bad = {k: (saved[k], cur[k]) for k in saved if k in cur and saved[k] != cur[k]}
+    if bad:
+        detail = ", ".join(
+            f"{k}: checkpoint has {a!r}, config has {b!r}"
+            for k, (a, b) in sorted(bad.items())
+        )
+        raise IncompatibleStateError(
+            f"{source} was saved under a different model config — {detail}. "
+            f"Resume with the original flags, or retrain."
+        )
+
+
 # ---------------------------------------------------------------- checkpoints
 _TABLES = ("lin_n", "lin_z", "lin_w", "vec_n", "vec_z", "vec_w")
 CHUNK_BYTES = 64 << 20  # max host-resident bytes per table while streaming
@@ -165,10 +229,25 @@ def os_size(path: str) -> int:
 
 
 def import_reference_model(path: str, n_feats: int, row_width: int = 0):
-    """Read a reference compressed model -> (bias, lin_w[, vec_w])."""
+    """Read a reference compressed model -> (bias, lin_w[, vec_w]).
+
+    The blob is unframed (raw [bias, lin_w..., vec_w...] floats,
+    reference: src/model/ffm.cpp:138-159), so the ONLY consistency check
+    possible is the exact float count — enforced here: a silent slice of a
+    mismatched blob would scramble every weight past the first table."""
     with open(path, "rb") as f:
         raw = zstandard.ZstdDecompressor().decompress(f.read())
     flat = np.frombuffer(raw, "<f4")
+    expect = 1 + n_feats + n_feats * row_width
+    if flat.size != expect:
+        raise IncompatibleStateError(
+            f"{path}: reference model blob holds {flat.size} floats, but "
+            f"the config (n_feats={n_feats}, factor row width {row_width}) "
+            f"expects exactly {expect} (1 bias + n_feats linear"
+            + (f" + n_feats*{row_width} factors" if row_width else "")
+            + ") — wrong --n_feats/--n_fields/--n_factors/--model_type for "
+            "this blob?"
+        )
     bias = float(flat[0])
     lin_w = flat[1 : 1 + n_feats].copy()
     vec_w = None
@@ -192,13 +271,40 @@ def export_reference_text_model(path: str, bias, lin_w, vec_w):
 
 
 def import_reference_text_model(path: str, n_feats: int, row_width: int):
+    """Read the FFM plain-text layout (reference: src/model/ffm.cpp:179-200).
+
+    Validated like the blob import: line counts and factor-row widths must
+    match the config exactly, with a named error instead of float('')."""
     with open(path, "r") as f:
-        bias = float(f.readline())
-        lin_w = np.array([float(f.readline()) for _ in range(n_feats)], np.float32)
-        vec_w = np.stack(
-            [
-                np.array(f.readline().split(), np.float32)[:row_width]
-                for _ in range(n_feats)
-            ]
+        lines = f.read().split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    expect = 1 + 2 * n_feats
+    if len(lines) != expect:
+        raise IncompatibleStateError(
+            f"{path}: FFM text model has {len(lines)} lines, but the config "
+            f"(n_feats={n_feats}) expects exactly {expect} "
+            f"(1 bias + n_feats linear + n_feats factor rows)"
         )
-    return bias, lin_w, vec_w
+    try:
+        bias = float(lines[0])
+        lin_w = np.array(lines[1 : 1 + n_feats], np.float32)
+        rows = [
+            np.array(row.split(), np.float32) for row in lines[1 + n_feats :]
+        ]
+        widths = {r.shape[0] for r in rows}
+        if len(widths) > 1:
+            raise IncompatibleStateError(
+                f"{path}: ragged factor rows (widths {sorted(widths)})"
+            )
+        vec_w = np.stack(rows)
+    except IncompatibleStateError:
+        raise
+    except ValueError as e:
+        raise IncompatibleStateError(f"{path}: malformed number: {e}") from e
+    if vec_w.shape[-1] < row_width:
+        raise IncompatibleStateError(
+            f"{path}: factor rows have {vec_w.shape[-1]} values, but the "
+            f"config (n_fields * n_factors) expects {row_width}"
+        )
+    return bias, lin_w, vec_w[:, :row_width]

@@ -51,6 +51,54 @@ def enable_compilation_cache() -> None:
             pass
 
 
+def _validate_state_shapes(cfg: Config, state: ModelState) -> None:
+    """Structural compatibility of a caller-provided state (resume,
+    Trainer(state=...)): table shapes/dtypes must match what this config's
+    model would build, with a named error instead of an opaque XLA shape
+    failure deep inside the first step.  Complements the header check
+    (io/checkpoint.py::validate_header_compat), which also catches
+    same-shape/different-meaning mismatches like a field_pad change."""
+    from ftrl_ffm_tpu.io.checkpoint import IncompatibleStateError
+
+    r, w = cfg.n_feats, cfg.row_width
+    issues = []
+    if tuple(state.lin_n.shape) != (r,):
+        issues.append(
+            f"linear tables have {tuple(state.lin_n.shape)} rows, config "
+            f"n_feats={r} expects ({r},)"
+        )
+    if w:
+        if state.vec_n is None:
+            issues.append(
+                f"state has no factor tables, but model_type="
+                f"{cfg.model_type} expects [{r}, {w}]"
+            )
+        else:
+            if tuple(state.vec_n.shape) != (r, w):
+                issues.append(
+                    f"factor tables are {tuple(state.vec_n.shape)}, config "
+                    f"(model_type={cfg.model_type}, n_feats={r}, "
+                    f"n_fields={cfg.n_fields}, field_pad={cfg.field_pad}, "
+                    f"n_factors={cfg.n_factors}) expects ({r}, {w})"
+                )
+            if str(state.vec_w.dtype) != cfg.table_dtype:
+                issues.append(
+                    f"factor weight table is {state.vec_w.dtype}, config "
+                    f"table_dtype={cfg.table_dtype}"
+                )
+    elif state.vec_n is not None:
+        issues.append(
+            f"state has factor tables {tuple(state.vec_n.shape)}, but "
+            f"model_type={cfg.model_type} has none"
+        )
+    if issues:
+        raise IncompatibleStateError(
+            "loaded state is incompatible with this config: "
+            + "; ".join(issues)
+            + ". Resume with the original flags, or retrain."
+        )
+
+
 def estimate_hbm_bytes(cfg: Config) -> dict:
     """Per-device HBM estimate for the train step: resident state, update
     working set, and (route mode) the all_to_all bucket buffers.
@@ -124,6 +172,8 @@ class Trainer:
         self.cfg = cfg
         self.model = make_model(cfg)
         self._warn_if_oversized()
+        if state is not None:
+            _validate_state_shapes(cfg, state)
         self.state = state if state is not None else self.model.init()
 
         self._steps_done = 0
@@ -1120,7 +1170,12 @@ class Trainer:
         """Full-state checkpoint; sharded states stream logical row chunks
         straight off the mesh (no full-table host gather).  Multi-host: only
         the coordinator writes."""
-        from ftrl_ffm_tpu.io.checkpoint import save_checkpoint
+        from ftrl_ffm_tpu.io.checkpoint import model_signature, save_checkpoint
+
+        # always persist the model-defining config: resume/import validates
+        # it (validate_header_compat) before shapes can silently reinterpret
+        extra = dict(extra or {})
+        extra.setdefault("model_config", model_signature(self.cfg))
 
         self._maybe_sync_lin()
         state = self.state
