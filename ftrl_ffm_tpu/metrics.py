@@ -18,6 +18,25 @@ import numpy as np
 AUC_BINS = 8192
 
 
+@jax.jit
+def kahan_add(sums, comps, parts):
+    """One compensated-summation (Kahan) step over tuples of accumulators.
+
+    Restores the reference's double accounting (it accumulates per-thread
+    `double` loss over whole passes, src/task/ftrl_online.cpp:82-94) for
+    device-side f32 metric chains without enabling global x64: naive f32
+    chaining loses O(n_batches) ulps over a 10^8-example pass, compensated
+    summation stays at O(1) ulps regardless of pass length.  Works
+    elementwise on vectors (AUC histograms) as well as scalars."""
+    new_sums, new_comps = [], []
+    for s, c, x in zip(sums, comps, parts):
+        y = x - c
+        t = s + y
+        new_comps.append((t - s) - y)
+        new_sums.append(t)
+    return tuple(new_sums), tuple(new_comps)
+
+
 class LossAccumulator:
     """Host-side double-precision mean of per-batch loss sums
     (reference accumulates double loss per thread then reduces:

@@ -22,7 +22,12 @@ from ftrl_ffm_tpu.config import Config, detect_file_type
 from ftrl_ffm_tpu.data.loader import batch_iterator, load_file
 from ftrl_ffm_tpu.data.parser import sniff_max_nnz
 from ftrl_ffm_tpu.data.stream import StreamReader
-from ftrl_ffm_tpu.metrics import AUC_BINS, LossAccumulator, StreamingAUC
+from ftrl_ffm_tpu.metrics import (
+    AUC_BINS,
+    LossAccumulator,
+    StreamingAUC,
+    kahan_add,
+)
 from ftrl_ffm_tpu.models import Batch, make_model
 from ftrl_ffm_tpu.models.base import ModelState
 
@@ -972,12 +977,21 @@ class Trainer:
         if not sums:
             self._epoch_route_overflow = 0
             return float("nan")
-        # One device-side reduction + a single host readback: per-batch
-        # float() readbacks serialize against the dispatch queue.
-        loss_sum = jnp.sum(jnp.stack([s for s, _ in sums]))
-        count = jnp.sum(jnp.stack([c for _, c in sums]))
-        of_sum = jnp.sum(jnp.stack(overflows)) if overflows else None
-        loss_sum, count, of_sum = jax.device_get((loss_sum, count, of_sum))
+        # One device-side stack + a single host readback (per-batch float()
+        # readbacks serialize against the dispatch queue); the cross-step
+        # reduction happens on host in f64 — the reference accumulates
+        # double over whole passes (src/task/ftrl_online.cpp:82-94), and an
+        # f32 chain over 10^4+ step sums loses digits the reference keeps.
+        ls_v, ct_v = jax.device_get(
+            (
+                jnp.stack([s for s, _ in sums]),
+                jnp.stack([c for _, c in sums]),
+            )
+        )
+        of_dev = jnp.sum(jnp.stack(overflows)) if overflows else None
+        of_sum = jax.device_get(of_dev) if of_dev is not None else None
+        loss_sum = np.sum(np.asarray(ls_v), dtype=np.float64)
+        count = np.sum(np.asarray(ct_v), dtype=np.float64)
         # route-mode epoch drop counter: exactness observability (VERDICT:
         # the reference updates every occurrence unconditionally,
         # src/model/ftrl_model.cpp:66-77 — any drop must be loud)
@@ -1242,17 +1256,18 @@ class Trainer:
         auc = StreamingAUC(AUC_BINS)
         # Running device-side accumulation: O(1) device buffers and one
         # host readback (retaining per-batch result tuples held ~64 KB of
-        # AUC histograms per batch alive for the whole pass).
+        # AUC histograms per batch alive for the whole pass).  Compensated
+        # (Kahan) chaining keeps whole-pass f32 accumulation at O(1) ulps —
+        # the reference's double accounting (metrics.py::kahan_add).
         tot = None
 
         def add(r):
             nonlocal tot
-            part = r[:4]
-            tot = (
-                list(part)
-                if tot is None
-                else [a + b for a, b in zip(tot, part)]
-            )
+            part = tuple(r[:4])
+            if tot is None:
+                tot = (part, tuple(jnp.zeros_like(p) for p in part))
+            else:
+                tot = kahan_add(tot[0], tot[1], part)
             if len(r) > 4:
                 self._note_eval_overflow(r[4])
 
@@ -1267,7 +1282,7 @@ class Trainer:
         if tot is None:
             self._flush_eval_overflow("eval")
             return float("nan"), float("nan")
-        loss_sum, count, pos, neg = jax.device_get(tot)
+        loss_sum, count, pos, neg = jax.device_get(tot[0])
         self._flush_eval_overflow("eval")
         acc.update(loss_sum, count)
         auc.update(pos, neg)
