@@ -14,7 +14,7 @@
 //   * out-of-range field/feat filtering   (src/model/ftrl_model.cpp:36-42)
 //   * padding: feat = n_feats (sentinel), val = 0, field = 0
 //
-// Build: g++ -O3 -shared -fPIC -o libftrlparse.so parser.cpp
+// Build: g++ -O3 -march=native -fno-strict-aliasing -shared -fPIC -o libftrlparse.so parser.cpp
 
 #include <cstdint>
 #include <cstdlib>
@@ -250,6 +250,215 @@ int64_t ftrl_parse_chunk_mt(
     }
     return total;
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Compact-transfer batch encoding (the native form of train.py::_compact).
+//
+// The feeder thread narrows upload dtypes per batch — uint16 delta ids
+// against per-column bases, int8/bfloat16 values when exact, int8 fields —
+// before host->HBM transfer.  In numpy that is several full-batch
+// single-threaded passes on the one upload thread (min/max, round-trip
+// checks, where, astype), which sits exactly at the device-step budget at
+// B=16384; here it is two fused multi-threaded passes with the GIL
+// released.  Output is byte-identical to the numpy path (tests/test_parser
+// fuzzes equality), and every narrowing stays LOSSLESS-ONLY: an encoding is
+// chosen only when the round trip is exact.
+//
+// Fact flags returned by ftrl_compact_analyze (bitmask) — raw observations;
+// the Python caller combines them into encoding decisions (train.py):
+constexpr int64_t kHasPad = 1;    // any feat id == sentinel
+constexpr int64_t kAllOnes = 4;   // every val exactly 1.0f
+constexpr int64_t kValsI8 = 8;    // every val integral in [-128, 127]
+constexpr int64_t kValsBf16 = 16; // every val exactly bf16-representable
+
+namespace {
+
+inline uint16_t bf16_round(float v) {
+    uint32_t b;
+    std::memcpy(&b, &v, 4);
+    return static_cast<uint16_t>((b + 0x7fffu + ((b >> 16) & 1u)) >> 16);
+}
+
+// Per-range analyze: per-column id lo/hi (sentinel excluded) + padding
+// flag, and the three value-exactness facts.  Every loop is branchless and
+// single-domain (ints or floats, never mixed) with __restrict__ pointers —
+// gcc auto-vectorizes each; the first fused scalar/branchy version of this
+// measured SLOWER than the numpy passes it replaces (8 ns/element).
+void compact_scan_range(const int32_t* __restrict__ feats,
+                        const float* __restrict__ vals,
+                        int64_t row0, int64_t row1, int64_t f,
+                        int32_t sentinel,
+                        int32_t* __restrict__ lo, int32_t* __restrict__ hi,
+                        int32_t* __restrict__ pad_m,
+                        int32_t* __restrict__ bads /* [3] */) {
+    for (int64_t i = row0; i < row1; ++i) {
+        const int32_t* __restrict__ fr = feats + i * f;
+        for (int64_t j = 0; j < f; ++j) {
+            int32_t id = fr[j];
+            int32_t is_pad = id == sentinel;
+            pad_m[j] |= is_pad;
+            int32_t idv = is_pad ? INT32_MAX : id;
+            int32_t idh = is_pad ? -1 : id;
+            lo[j] = idv < lo[j] ? idv : lo[j];
+            hi[j] = idh > hi[j] ? idh : hi[j];
+        }
+    }
+    const float* __restrict__ v = vals + row0 * f;
+    const int64_t m = (row1 - row0) * f;
+    int32_t ones_bad = 0, i8_bad = 0, bf16_bad = 0;
+    for (int64_t k = 0; k < m; ++k) ones_bad |= (v[k] != 1.0f);
+    for (int64_t k = 0; k < m; ++k) {
+        float x = v[k];
+        // integral test via round-to-nearest (exact for |x| < 2^22; larger
+        // magnitudes fail the range check anyway): matches numpy's
+        // astype(int8) round trip exactly — non-integral, out-of-[-128,127]
+        // and NaN all fail
+        float r = (x + 12582912.0f) - 12582912.0f;  // 1.5 * 2^23
+        i8_bad |= !((x >= -128.0f) & (x <= 127.0f) & (r == x));
+    }
+    const uint32_t* __restrict__ b =
+        reinterpret_cast<const uint32_t*>(v);  // built -fno-strict-aliasing
+    for (int64_t k = 0; k < m; ++k) {
+        uint32_t x = b[k];
+        uint32_t back = ((x + 0x7fffu + ((x >> 16) & 1u)) >> 16) << 16;
+        float fb;
+        std::memcpy(&fb, &back, 4);
+        bf16_bad |= (fb != v[k]);  // NaN: != is true -> rides as f32
+    }
+    bads[0] = ones_bad;
+    bads[1] = i8_bad;
+    bads[2] = bf16_bad;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pass 1 of compact-transfer encoding: one fused scan computing everything
+// train.py::_compact's numpy passes computed separately.  Writes per-column
+// id minima to out_lo (sentinel-masked; all-padding columns -> 0) and
+// returns a fact bitmask; the CALLER decides the encodings (delta fits in
+// u16, all-ones marker, i8 vs bf16) and allocates only the output buffers
+// pass 2 will actually write.
+int64_t ftrl_compact_analyze(
+    const int32_t* feats, const float* vals,
+    int64_t n, int64_t f, int32_t sentinel,
+    int32_t* out_lo, int32_t* out_hi, int32_t n_threads) {
+    if (n <= 0 || f <= 0) {
+        for (int64_t j = 0; j < f; ++j) { out_lo[j] = 0; out_hi[j] = 0; }
+        return kAllOnes;  // empty: vacuously all-ones, no padding
+    }
+    int t_count = n_threads > 8 ? 8 : (n_threads < 1 ? 1 : n_threads);
+    if (n * f < (1 << 17)) t_count = 1;  // thread spawn beats the work below
+    size_t fs = static_cast<size_t>(f);
+    size_t stride = fs * 3 + 3;  // lo | hi | pad_m | bads[3] per thread
+    std::vector<int32_t> acc(static_cast<size_t>(t_count) * stride);
+    auto run = [&](int t, int64_t a, int64_t b) {
+        int32_t* base = acc.data() + static_cast<size_t>(t) * stride;
+        int32_t* lo = base;
+        int32_t* hi = base + fs;
+        for (size_t j = 0; j < fs; ++j) { lo[j] = INT32_MAX; hi[j] = -1; }
+        // pad_m zero-initialized by the vector
+        compact_scan_range(feats, vals, a, b, f, sentinel, lo, hi,
+                           base + 2 * fs, base + 3 * fs);
+    };
+    if (t_count == 1) {
+        run(0, 0, n);
+    } else {
+        std::vector<std::thread> ts;
+        ts.reserve(t_count);
+        for (int t = 0; t < t_count; ++t)
+            ts.emplace_back(run, t, n * t / t_count, n * (t + 1) / t_count);
+        for (auto& th : ts) th.join();
+    }
+    int32_t* lo = acc.data();
+    int32_t* hi = acc.data() + fs;
+    int32_t pad = 0, ones_bad = 0, i8_bad = 0, bf16_bad = 0;
+    for (int t = 0; t < t_count; ++t) {
+        int32_t* base = acc.data() + static_cast<size_t>(t) * stride;
+        for (size_t j = 0; j < fs; ++j) {
+            if (t) {
+                if (base[j] < lo[j]) lo[j] = base[j];
+                if (base[fs + j] > hi[j]) hi[j] = base[fs + j];
+            }
+            pad |= base[2 * fs + j];
+        }
+        ones_bad |= base[3 * fs + 0];
+        i8_bad |= base[3 * fs + 1];
+        bf16_bad |= base[3 * fs + 2];
+    }
+    for (size_t j = 0; j < fs; ++j) {
+        if (hi[j] < lo[j]) lo[j] = 0;  // all-padding column: base 0 (numpy)
+        out_lo[j] = lo[j];
+        out_hi[j] = hi[j];
+    }
+    int64_t flags = 0;
+    if (pad) flags |= kHasPad;
+    if (!ones_bad) flags |= kAllOnes;
+    if (!i8_bad) flags |= kValsI8;
+    if (!bf16_bad) flags |= kValsBf16;
+    return flags;
+}
+
+// Pass 2: fused encode of whichever outputs the caller chose (non-null).
+// u16 deltas need `lo` from pass 1; every loop is branchless/vectorizable.
+void ftrl_compact_encode(
+    const int32_t* feats, const float* vals, const int32_t* fields,
+    int64_t n, int64_t f, int32_t sentinel, const int32_t* lo,
+    uint16_t* out_feats_u16, int8_t* out_vals_i8, uint16_t* out_vals_bf16,
+    int8_t* out_fields_i8, int32_t n_threads) {
+    if (n <= 0 || f <= 0) return;
+    int t_count = n_threads > 8 ? 8 : (n_threads < 1 ? 1 : n_threads);
+    if (n * f < (1 << 17)) t_count = 1;
+    auto encode = [&](int64_t row0, int64_t row1) {
+        if (out_feats_u16) {
+            for (int64_t i = row0; i < row1; ++i) {
+                const int32_t* fr = feats + i * f;
+                uint16_t* out = out_feats_u16 + i * f;
+                for (int64_t j = 0; j < f; ++j) {
+                    int32_t id = fr[j];
+                    int32_t d = id - lo[j];
+                    out[j] = static_cast<uint16_t>(
+                        id == sentinel ? 65535 : d);
+                }
+            }
+        }
+        if (out_vals_i8) {
+            const float* v0 = vals + row0 * f;
+            int8_t* out = out_vals_i8 + row0 * f;
+            int64_t m = (row1 - row0) * f;
+            for (int64_t k = 0; k < m; ++k)
+                out[k] = static_cast<int8_t>(v0[k]);
+        } else if (out_vals_bf16) {
+            const float* v0 = vals + row0 * f;
+            uint16_t* out = out_vals_bf16 + row0 * f;
+            int64_t m = (row1 - row0) * f;
+            for (int64_t k = 0; k < m; ++k) out[k] = bf16_round(v0[k]);
+        }
+        if (out_fields_i8 && fields) {
+            const int32_t* f0 = fields + row0 * f;
+            int8_t* out = out_fields_i8 + row0 * f;
+            int64_t m = (row1 - row0) * f;
+            for (int64_t k = 0; k < m; ++k)
+                out[k] = static_cast<int8_t>(f0[k]);
+        }
+    };
+    if (t_count == 1) {
+        encode(0, n);
+        return;
+    }
+    std::vector<std::thread> ts;
+    ts.reserve(t_count);
+    for (int t = 0; t < t_count; ++t)
+        ts.emplace_back(encode, n * t / t_count, n * (t + 1) / t_count);
+    for (auto& th : ts) th.join();
+}
+
+}  // extern "C"
+
+extern "C" {
 
 // Count lines and max token count (for sizing) in one cheap pass.
 void ftrl_count_chunk(const char* text, int64_t len, int32_t stride,

@@ -672,8 +672,12 @@ class Trainer:
         if self.cfg.model_type != "FFM":
             fields_c = fields[..., :0].astype(np.int8)
         else:
-            fields_c = fields.astype(fdt)
+            # FFM: deferred — the native fused pass writes int8 fields
+            # alongside the other encodings; numpy fallback casts below
+            fields_c = None
         if not dynamic_ok:
+            if fields_c is None:
+                fields_c = fields.astype(fdt)
             agreed = self._dyn_agreed.get(role)
             if agreed is not None:
                 return self._apply_agreed(
@@ -689,9 +693,74 @@ class Trainer:
                 sample_w,
                 None,
             )
+        # Native fused compaction: two GIL-released multi-threaded C++
+        # passes produce ALL the encodings below byte-identically
+        # (native/parser.cpp::ftrl_compact_batch), replacing several
+        # single-threaded numpy passes on this (feeder) thread — which sat
+        # exactly at the device-step budget at B=16384.  Falls through to
+        # the numpy path when no toolchain / non-canonical inputs.
+        sent = self.cfg.n_feats
+        f_dim = feats.shape[-1]
+        res = None
+        if f_dim and vals.dtype == np.float32:
+            from ftrl_ffm_tpu import native as _native
+
+            nat_fields = None
+            if self.cfg.model_type == "FFM" and self.cfg.n_fields <= 127:
+                nat_fields = fields.reshape(-1, f_dim)
+            # n_threads=1: the two passes are vectorized and memory-bound
+            # (~1.5 ms at B=16384); std::thread spawn + first-touch page
+            # faults measured slower at every thread count on this host
+            res = _native.compact_batch(
+                feats.reshape(-1, f_dim),
+                vals.reshape(-1, f_dim),
+                nat_fields,
+                sent,
+                self._delta_ok,
+                1,
+            )
+        if res is not None:
+            flags, f_u16, base, v_i8, v_bf16, fld_i8 = res
+            feats_base = None
+            if self._delta_ok:
+                if flags & _native.DELTA:
+                    feats = f_u16.reshape(feats.shape)
+                    feats_base = np.concatenate(
+                        [base, np.array([sent], np.int32)]
+                    )
+                    if feats.ndim == 3:  # [S, B, F] scan group
+                        feats_base = np.tile(feats_base, (feats.shape[0], 1))
+                else:
+                    self._delta_ok = False
+            if flags & _native.ALL_ONES:
+                vals_c = vals[..., :0]
+            elif flags & _native.VALS_I8:
+                vals_c = v_i8.reshape(vals.shape)
+            elif flags & _native.VALS_BF16:
+                vals_c = v_bf16.view(ml_dtypes.bfloat16).reshape(vals.shape)
+            else:
+                vals_c = vals
+            if fields_c is None:
+                fields_c = (
+                    fld_i8.reshape(fields.shape)
+                    if fld_i8 is not None
+                    else fields.astype(fdt)
+                )
+            sw_i8 = sample_w.astype(np.int8)
+            if not np.array_equal(sw_i8.astype(np.float32), sample_w):
+                sw_i8 = sample_w  # fractional sample weights: keep f32
+            return (
+                fields_c,
+                feats,
+                vals_c,
+                y.astype(np.int8),
+                sw_i8,
+                feats_base,
+            )
+        if fields_c is None:
+            fields_c = fields.astype(fdt)
         # padding presence (any sentinel id): decides both the delta fast
         # path and the all-ones vals marker below
-        sent = self.cfg.n_feats
         flat0 = feats.reshape(-1, feats.shape[-1])
         has_pad = int(flat0.max(initial=0)) == sent if flat0.size else False
         # feats: per-column uint16 delta encoding.  CTR ids cluster in

@@ -198,3 +198,158 @@ def test_stream_block_boundary_splits_line(tmp_path):
     finally:
         st.BLOCK_BYTES = old
     assert total == 500
+
+
+# ------------------------------------------- native compact-transfer encoding
+def _mk_trainer(tmp_path, idx, model_type="FFM", n_feats=1000, n_fields=4):
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    p = tmp_path / f"d{idx}.ffm"
+    p.write_text("1 0:1:1 1:2:1 2:3:1 3:4:1\n")
+    return Trainer(Config(
+        train_data=str(p), model_type=model_type, n_feats=n_feats,
+        n_fields=n_fields, n_factors=2, batch_size=8, max_nnz=5,
+    ))
+
+
+def _compact_scenarios(n_feats, n_fields, rng):
+    """Batch sequences covering every encoding branch; sequences matter
+    (the delta hysteresis is stateful)."""
+    sent = n_feats
+    f = 5
+
+    def mk(b, ids=None, vals=None, sw=None, pad_rows=0, group=0):
+        fields = rng.integers(0, n_fields, (b, f)).astype(np.int32)
+        if ids is None:
+            # per-column clustered ids (the CTR shape delta relies on)
+            base = rng.integers(0, max(1, n_feats - 300), f)
+            ids = (base[None, :] + rng.integers(0, 200, (b, f))).astype(
+                np.int32
+            )
+            ids = np.minimum(ids, n_feats - 1)
+        if vals is None:
+            vals = np.ones((b, f), np.float32)
+        y = (rng.random(b) > 0.5).astype(np.float32)
+        if sw is None:
+            sw = np.ones(b, np.float32)
+        if pad_rows:
+            ids = ids.copy()
+            vals = vals.copy()
+            ids[-pad_rows:] = sent
+            vals[-pad_rows:] = 0.0
+            sw = sw.copy()
+            sw[-pad_rows:] = 0.0
+        arrs = (fields, ids, vals.astype(np.float32), y, sw)
+        if group:
+            arrs = tuple(np.stack([a] * group) for a in arrs)
+        return arrs
+
+    int_vals = rng.integers(-3, 6, (8, f)).astype(np.float32)
+    bf16_vals = (rng.integers(1, 9, (8, f)) * 0.25).astype(np.float32)
+    f32_vals = rng.random((8, f)).astype(np.float32) + 0.1
+    wide = np.zeros((8, f), np.int32)
+    wide[0, 0] = 0
+    wide[1, 0] = min(n_feats - 1, 70000)
+    return [
+        [mk(8)],                                   # all-ones marker + delta
+        [mk(8, pad_rows=3)],                       # padded tail: int8 vals
+        [mk(8, vals=int_vals)],                    # int8 vals
+        [mk(8, vals=bf16_vals)],                   # bf16 vals
+        [mk(8, vals=f32_vals)],                    # f32 fallback
+        [mk(8, ids=wide), mk(8)],                  # delta break + hysteresis
+        [mk(8, sw=np.full(8, 0.5, np.float32))],   # fractional sample_w
+        [mk(8, group=3)],                          # [S, B, F] scan group
+        [mk(8, vals=bf16_vals, pad_rows=2), mk(8, vals=f32_vals), mk(8)],
+    ]
+
+
+def _assert_compact_equal(a, b, ctx):
+    assert len(a) == len(b)
+    for i, (x, z) in enumerate(zip(a, b)):
+        assert (x is None) == (z is None), f"{ctx}[{i}] None mismatch"
+        if x is None:
+            continue
+        assert x.dtype == z.dtype, f"{ctx}[{i}] dtype {x.dtype} != {z.dtype}"
+        assert x.shape == z.shape, f"{ctx}[{i}] shape {x.shape} != {z.shape}"
+        np.testing.assert_array_equal(
+            np.asarray(x), np.asarray(z), err_msg=f"{ctx}[{i}]"
+        )
+
+
+@pytest.mark.parametrize("model_type,n_feats,n_fields", [
+    ("FFM", 1000, 4),
+    ("FFM", 100000, 39),
+    ("FFM", 1000, 300),   # n_fields > 127: int16 fields (numpy cast path)
+    ("FM", 1000, 4),
+    ("LR", 100000, 4),
+])
+def test_native_compact_matches_numpy(tmp_path, monkeypatch, model_type,
+                                      n_feats, n_fields):
+    """ftrl_compact_batch must be byte-identical to the numpy _compact
+    across every encoding branch (VERDICT r3 #1's test criterion)."""
+    import ftrl_ffm_tpu.native as native
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(17)
+    scenarios = _compact_scenarios(n_feats, n_fields, rng)
+    for s_idx, seq in enumerate(scenarios):
+        t_nat = _mk_trainer(tmp_path, f"n{s_idx}", model_type, n_feats,
+                            n_fields)
+        t_np = _mk_trainer(tmp_path, f"p{s_idx}", model_type, n_feats,
+                           n_fields)
+        outs_nat = [t_nat._compact(arrs) for arrs in seq]
+        with monkeypatch.context() as m:
+            m.setattr(native, "compact_batch", lambda *a, **k: None)
+            outs_np = [t_np._compact(arrs) for arrs in seq]
+        assert t_nat._delta_ok == t_np._delta_ok, f"scenario {s_idx}"
+        for b_idx, (a, b) in enumerate(zip(outs_nat, outs_np)):
+            _assert_compact_equal(a, b, f"s{s_idx}b{b_idx}")
+
+
+def test_native_compact_fuzz_random(tmp_path, monkeypatch):
+    """Random-shape/content fuzz: native == numpy on arbitrary mixes of
+    padding, value classes, and id spreads."""
+    import ftrl_ffm_tpu.native as native
+
+    if native.lib() is None:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(23)
+    n_feats, n_fields = 80000, 12
+    t_nat = _mk_trainer(tmp_path, "fz_n", "FFM", n_feats, n_fields)
+    t_np = _mk_trainer(tmp_path, "fz_p", "FFM", n_feats, n_fields)
+    for it in range(40):
+        b = int(rng.integers(1, 33))
+        f = int(rng.integers(1, 9))
+        fields = rng.integers(0, n_fields, (b, f)).astype(np.int32)
+        spread = int(rng.choice([100, 60000, 70000]))
+        ids = rng.integers(0, spread, (b, f)).astype(np.int32)
+        kind = int(rng.integers(0, 4))
+        if kind == 0:
+            vals = np.ones((b, f), np.float32)
+        elif kind == 1:
+            vals = rng.integers(-128, 128, (b, f)).astype(np.float32)
+        elif kind == 2:
+            vals = (rng.integers(0, 16, (b, f)) * 0.125).astype(np.float32)
+        else:
+            vals = rng.random((b, f)).astype(np.float32)
+        if rng.random() < 0.4:  # padding occurrences / padded samples
+            mask = rng.random((b, f)) < 0.3
+            ids = np.where(mask, n_feats, ids)
+            vals = np.where(mask, 0.0, vals).astype(np.float32)
+        y = (rng.random(b) > 0.5).astype(np.float32)
+        sw = (
+            np.ones(b, np.float32)
+            if rng.random() < 0.7
+            else rng.random(b).astype(np.float32)
+        )
+        arrs = (fields, ids, vals, y, sw)
+        out_nat = t_nat._compact(arrs)
+        with monkeypatch.context() as m:
+            m.setattr(native, "compact_batch", lambda *a, **k: None)
+            out_np = t_np._compact(arrs)
+        assert t_nat._delta_ok == t_np._delta_ok, f"iter {it}"
+        _assert_compact_equal(out_nat, out_np, f"iter{it}")
