@@ -401,3 +401,143 @@ def test_route_overflow_policy_error_raises(tmp_path):
     assert h["route_overflow"][0] > 0  # counted and surfaced
     with pytest.raises(RuntimeError, match="bucket overflow"):
         Trainer(Config(**kw, route_overflow_policy="error")).train()
+
+
+# -------------------------------------- HLO machine-check of the scaling model
+def _compiled_collectives(cfg, mesh_shape):
+    """Lower + compile the sharded train step and extract every collective
+    from the optimized HLO: (kind, total_bytes, communicates) where
+    `communicates` is False for singleton replica groups (no traffic —
+    e.g. a psum over a size-1 mesh axis)."""
+    import re
+
+    model = make_model(cfg)
+    mesh = make_mesh(*mesh_shape)
+    sstate = shard_state(model.init(), mesh)
+    step = ShardedStep(cfg, mesh, sstate)
+    rng = np.random.default_rng(0)
+    b, f = cfg.batch_size, cfg.max_nnz
+    arrays = (
+        rng.integers(0, cfg.n_fields, (b, f)).astype(np.int32),
+        rng.integers(0, cfg.n_feats, (b, f)).astype(np.int32),
+        np.ones((b, f), np.float32),
+        (rng.random(b) > 0.5).astype(np.float32),
+        np.ones(b, np.float32),
+    )
+    txt = step.train_step.lower(
+        sstate, step.place_batch(arrays)
+    ).compile().as_text()
+    dt_bytes = {"f32": 4, "s32": 4, "u32": 4, "pred": 1, "bf16": 2,
+                "u16": 2, "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8}
+    shape_re = re.compile(r"(\w+)\[([0-9,]*)\]")
+    out = []
+    for line in txt.splitlines():
+        # result type is either one shape or a tuple "(f32[...], ...)" —
+        # tuples embed /*index=N*/ comments, so the capture must allow '='
+        m = re.search(
+            r"=\s*(\([^)]*\)|\w+\[[0-9,]*\]\S*)\s+(all-to-all|all-reduce"
+            r"|all-gather|reduce-scatter|collective-permute)\(",
+            line,
+        )
+        if not m:
+            continue
+        shapes_txt, kind = m.groups()
+        nbytes = 0
+        for dt, dims in shape_re.findall(shapes_txt):
+            if dt not in dt_bytes:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            nbytes += n * dt_bytes[dt]
+        g = re.search(r"replica_groups=\{(.*?)\}\s*,", line)
+        communicates = True
+        if g:
+            groups = re.findall(r"\{([0-9,]+)\}", "{" + g.group(1) + "}")
+            communicates = any("," in grp for grp in groups)
+        out.append((kind, nbytes, communicates))
+    return step, out
+
+
+def test_route_mesh_has_no_table_sized_collective():
+    """VERDICT r3 #3(a): the compiled (1, N) route step must have NO
+    communicating collective of O(rows_local * E) — the structural claim
+    behind tools/scaling_model.py's '(1, N) meshes have no O(R) ICI leg'.
+    All-to-all volume must equal the occurrence-proportional route-buffer
+    sizes exactly."""
+    cfg = Config(model_type="FFM", n_feats=8192, n_fields=4, n_factors=4,
+                 batch_size=64, max_nnz=4, lookup_mode="route")
+    step, cols = _compiled_collectives(cfg, (1, 8))
+    assert step.mode == "route"
+    e = cfg.row_width
+    table_bytes = step.rows_local * e * 4
+    comm = [(k, b) for k, b, c in cols if c]
+    assert comm, "no communicating collectives found — HLO parse broke?"
+    for kind, nbytes in comm:
+        assert nbytes < table_bytes, (
+            f"{kind} moves {nbytes} B >= O(rows_local*E) {table_bytes} B — "
+            "an O(table) collective on the recommended scaling shape"
+        )
+    # a2a volume == the route buffers exactly: ids [M*K] s32, lin rows
+    # [M*K] f32, factor rows [M*K, E], lin payload [M*K, 2], factor
+    # payload [M*K, 2E] (parallel/sharded.py::_route/_routed_rows/
+    # _table_update_routed)
+    mk = step.n_shards * step.route_k
+    expected_a2a = mk * 4 * (1 + 1 + e + 2 + 2 * e)
+    a2a_total = sum(b for k, b, c in cols if k == "all-to-all" and c)
+    assert a2a_total == expected_a2a, (
+        f"a2a bytes {a2a_total} != modeled route volume {expected_a2a}"
+    )
+    # and the table-sized linear-accumulator psum must be traffic-free
+    # (singleton groups) on mesh_data=1
+    non_comm_big = [b for k, b, c in cols if not c]
+    assert all(b <= step.rows_local * 2 * 4 for b in non_comm_big)
+
+
+def test_hybrid_mesh_accumulator_allreduce_matches_scaling_model():
+    """VERDICT r3 #3(b): the (D, M) hybrid's dense2-regime step must carry
+    a communicating all-reduce of EXACTLY the scaling model's O(R/M)
+    volume term (tools/scaling_model.py::model_step's psum_acc leg:
+    r_loc * 2E * 4 bytes) — the leg that forbids D > 1 at production
+    table sizes."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "scaling_model",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "scaling_model.py"),
+    )
+    sm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sm)
+
+    # C=39, K=16: Config.field_pad (40) == the model's padded width, so the
+    # HLO volume and the model term must agree to the byte
+    cfg = Config(model_type="FFM", n_feats=512, n_fields=39, n_factors=16,
+                 batch_size=64, max_nnz=4, lookup_mode="replicate",
+                 update_mode="dense")
+    d, m = 4, 2
+    step, cols = _compiled_collectives(cfg, (d, m))
+    r_loc = cfg.n_feats // m
+    e = cfg.row_width
+    assert e == 40 * 16  # field_pad alignment: matches the model's cp * k
+    model_term_bytes = int(r_loc * 2 * e * 4)
+    # cross-check the expression against model_step itself: its psum_acc
+    # time is ring_factor * volume / ici
+    ici = 45e9
+    t = sm.model_step(d, m, cfg.batch_size // (d * m) * cfg.max_nnz
+                      // cfg.max_nnz, cfg.n_fields, cfg.n_factors,
+                      cfg.n_feats, 45.0)
+    ring = 2 * (d - 1) / d
+    assert abs(t["psum_acc_ms"] / 1e3 - ring * model_term_bytes / ici) < 1e-12
+    comm_ar = [b for k, b, c in cols if k == "all-reduce" and c]
+    assert comm_ar, "no communicating all-reduce found — HLO parse broke?"
+    # XLA's all-reduce combiner merges the [R/M, 2] linear accumulator and
+    # the loss scalars into the same op (+2 KB here): the dominant op's
+    # volume must be the model term to within 1%
+    big = max(comm_ar)
+    assert model_term_bytes <= big <= model_term_bytes * 1.01, (
+        f"dominant communicating all-reduce is {big} B; the scaling "
+        f"model's [R/M, 2E] accumulator term is {model_term_bytes} B"
+    )
