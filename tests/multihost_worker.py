@@ -23,6 +23,7 @@ def main() -> None:
     pred_path = sys.argv[9] if len(sys.argv) > 9 else ""
     n_epochs = int(sys.argv[10]) if len(sys.argv) > 10 else 2
     model_type = sys.argv[11] if len(sys.argv) > 11 else "FFM"
+    update_mode = sys.argv[12] if len(sys.argv) > 12 else "auto"
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -50,6 +51,7 @@ def main() -> None:
         mesh_data=0 if mesh_model > 1 else 1,
         mesh_model=mesh_model,
         lookup_mode=lookup_mode,
+        update_mode=update_mode,
     )
     tr = Trainer(cfg)
     # n_epochs=0: predict-only mode (deterministic init state — bitwise

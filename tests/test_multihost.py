@@ -95,28 +95,30 @@ def _single_process_ref(data):
     return Trainer(cfg).train()
 
 
-def _run_two_processes(tmp_path, data, extra_args=()):
-    """Launch 2 jax.distributed CPU workers; return their history dicts."""
+def _run_processes(tmp_path, data, extra_args=(), nprocs=2, dev_per_proc=4):
+    """Launch N jax.distributed CPU workers; return their history dicts."""
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
     coord = f"127.0.0.1:{port}"
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={dev_per_proc}"
+    )
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_PLATFORMS", None)
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
-    outs = [str(tmp_path / f"hist{p}.json") for p in range(2)]
+    outs = [str(tmp_path / f"hist{p}.json") for p in range(nprocs)]
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, coord, "2", str(p), data, outs[p],
-             *map(str, extra_args)],
+            [sys.executable, worker, coord, str(nprocs), str(p), data,
+             outs[p], *map(str, extra_args)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
-        for p in range(2)
+        for p in range(nprocs)
     ]
     logs = []
     for p in procs:
@@ -125,6 +127,10 @@ def _run_two_processes(tmp_path, data, extra_args=()):
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log}"
     return [json.load(open(path)) for path in outs]
+
+
+def _run_two_processes(tmp_path, data, extra_args=()):
+    return _run_processes(tmp_path, data, extra_args)
 
 
 def test_two_process_distributed_matches_single(tmp_path):
@@ -333,3 +339,55 @@ def test_two_process_route_sharded_matches_single(tmp_path):
         np.testing.assert_allclose(
             hist["eval_auc"], ref["eval_auc"], rtol=1e-4
         )
+
+
+def test_four_process_route_inplace_matches_single(tmp_path):
+    """VERDICT r3 #5: the production scaling shape executed as a REAL
+    4-process jax.distributed run — a (1, 4) mesh spanning 4 processes
+    (one device each), unique-id routed lookups, in-place huge-shard
+    update — must match the single-process run's losses AND final state.
+    Closes the gap between the 2-process tier and the 8-device
+    single-host virtual-mesh tier."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    cfg = Config(
+        train_data=data, eval_data=data, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=256, n_epochs=2, online=True,
+    )
+    ref = Trainer(cfg)
+    ref_hist = ref.train()
+    ref_state = ref.logical_state
+
+    ckpt = str(tmp_path / "mh4.ckpt")
+    hists = _run_processes(
+        tmp_path, data, nprocs=4, dev_per_proc=1,
+        extra_args=(4, "route", ckpt, "", 2, "FFM", "inplace"),
+    )
+    for hist in hists:
+        assert hist["process_count"] == 4
+        assert hist["device_count"] == 4
+        assert hist["local_device_count"] == 1
+        np.testing.assert_allclose(
+            hist["train_loss"], ref_hist["train_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_loss"], ref_hist["eval_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_auc"], ref_hist["eval_auc"], rtol=1e-4
+        )
+    # final state equality via the multi-host checkpoint (same tolerance
+    # rationale as test_two_process_sharded_checkpoint: f32 reassociation
+    # across psum/all_to_all vs the single-device scatter order)
+    state, _ = load_checkpoint(ckpt)
+    assert state.lin_z.shape == (50,)
+    for name in ("lin_z", "lin_n", "vec_z", "vec_n", "vec_w"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(state, name)),
+            np.asarray(getattr(ref_state, name)),
+            rtol=1e-3, atol=1e-5, err_msg=name,
+        )
+    assert int(state.step) == int(ref.state.step)
