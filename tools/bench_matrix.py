@@ -17,6 +17,14 @@ rows (default: ffm fm lr):
              also reports the scatter dedup ratio + delta-encode hit rate)
     numeric  FFM k=16 with one real-valued field (realism: exercises the
              f32 vals upload fallback — no int8/ones narrowing possible)
+    noncanon FFM k=16 on fully non-canonical data: fractional values,
+             variable nnz (padding-heavy short lines + truncation-warned
+             long ones), shuffled token order (per-column id spreads
+             exceed uint16 — delta encoding disabled).  The feeder path
+             with NONE of the zero-width/delta/int8 fast paths; regressions
+             off the canonical path show here.  (Fractional sample weights
+             cannot occur on file-driven runs — the libsvm/libffm formats
+             carry no weight column, so sample_w is always {0, 1}.)
 Env: ROWS_SAMPLES (400000), ACC_DTYPE, TABLE_DTYPE forwarded to Config.
 """
 
@@ -68,15 +76,34 @@ def ensure_data(n_feats: int, variant: str = "uniform") -> str:
     )
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        for i in range(N_SAMPLES):
-            toks = [str(y[i])] + [
-                f"{c}:{ids[i, c]}:1" for c in range(N_FIELDS)
-            ]
-            if numeric is not None:
-                # real-valued numeric feature in field 0 (zero values are
-                # dropped by the parse contract, so floor at 1e-6)
-                toks[1] = f"0:{ids[i, 0]}:{max(numeric[i], 1e-6):.6f}"
-            f.write(" ".join(toks) + "\n")
+        if variant == "noncanon":
+            # fully non-canonical rows: variable nnz (8..60 — short lines
+            # pad, >39 truncate with the loader warning), fractional
+            # values, shuffled token order (columns mix fields, so
+            # per-column id spreads kill the uint16 delta encoding)
+            for i in range(N_SAMPLES):
+                nnz = int(rng.integers(8, 61))
+                fs = (
+                    rng.permutation(N_FIELDS)[:nnz]
+                    if nnz <= N_FIELDS
+                    else rng.integers(0, N_FIELDS, nnz)
+                )
+                toks = [str(y[i])] + [
+                    f"{c}:{int(c) * per + int(rng.integers(0, per))}"
+                    f":{rng.random() * 0.95 + 0.05:.6f}"
+                    for c in fs
+                ]
+                f.write(" ".join(toks) + "\n")
+        else:
+            for i in range(N_SAMPLES):
+                toks = [str(y[i])] + [
+                    f"{c}:{ids[i, c]}:1" for c in range(N_FIELDS)
+                ]
+                if numeric is not None:
+                    # real-valued numeric feature in field 0 (zero values
+                    # are dropped by the parse contract, so floor at 1e-6)
+                    toks[1] = f"0:{ids[i, 0]}:{max(numeric[i], 1e-6):.6f}"
+                f.write(" ".join(toks) + "\n")
     os.replace(tmp, path)
     return path
 
@@ -113,7 +140,7 @@ def run_row(row: str) -> dict:
     from ftrl_ffm_tpu.train import Trainer
 
     n_feats = 1_000_000 if row == "ffm1m" else 100_000
-    variant = row if row in ("zipf", "numeric") else "uniform"
+    variant = row if row in ("zipf", "numeric", "noncanon") else "uniform"
     path = ensure_data(n_feats, variant)
     kw = dict(
         train_data=path,
