@@ -304,8 +304,10 @@ class Trainer:
                 f"estimated per-device HBM need ~{est['total'] / 1e9:.1f} GB "
                 f"(state {est['state'] / 1e9:.1f} + update working set "
                 f"{est['work'] / 1e9:.1f}{route_note}) vs "
-                f"~{limit / 1e9:.0f} GB available — expect "
-                f"RESOURCE_EXHAUSTED.  Shard rows over --mesh_model, reduce "
+                f"~{limit / 1e9:.0f} GB available — RESOURCE_EXHAUSTED "
+                f"likely (the estimate ignores XLA temp reuse and runs "
+                f"~8% conservative at the measured single-chip ceiling; "
+                f"BASELINE.md).  Shard rows over --mesh_model, reduce "
                 f"--batch_size, or set --table_dtype bfloat16."
             )
 
