@@ -46,10 +46,11 @@ class Batch(NamedTuple):
     delta-encode feats: when feats_base is set, feats holds uint16 deltas
     against per-column bases feats_base[:F], with delta 65535 reserved for
     the padding sentinel feats_base[F].  widen_batch decodes on device.
-    Two zero-width markers cut upload bytes further: fields may be [B, 0]
-    (LR/FM never read field ids) and vals may be [B, 0] (an exactly-all-1.0
-    batch with no padding — the canonical CTR case — is reconstructed as
-    ones on device).
+    Three zero-size markers cut upload bytes further: fields may be [B, 0]
+    (LR/FM never read field ids), fields may be [0, F] (every row's fields
+    are exactly 0..F-1 — one feature per field in slot order, the canonical
+    CTR case — reconstructed as an iota on device), and vals may be [B, 0]
+    (an exactly-all-1.0 batch with no padding, reconstructed as ones).
     """
 
     fields: jax.Array  # [B, F] int32 (or int8/int16 compacted)
@@ -116,8 +117,19 @@ def widen_batch(b: Batch) -> Batch:
         if b.vals.shape[-1] == 0 and feats.shape[-1] != 0
         else b.vals.astype(jnp.float32)
     )
+    # zero-ROW fields [..., 0, F] = the iota marker (every row's fields are
+    # exactly 0..F-1, the canonical one-feature-per-field layout); padded
+    # slots get field j instead of the parser's 0, which is numerically
+    # inert (their val is 0) — and the marker is only taken on pad-free
+    # batches anyway (train.py::_compact)
+    if b.fields.ndim >= 2 and b.fields.shape[-2] == 0 and feats.shape[-1]:
+        fields = jax.lax.broadcasted_iota(
+            jnp.int32, feats.shape, feats.ndim - 1
+        )
+    else:
+        fields = b.fields.astype(jnp.int32)
     return Batch(
-        fields=b.fields.astype(jnp.int32),
+        fields=fields,
         feats=feats,
         vals=vals,
         y=b.y.astype(jnp.float32),

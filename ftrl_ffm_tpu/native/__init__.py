@@ -119,6 +119,7 @@ def lib() -> ctypes.CDLL | None:
         cdll.ftrl_compact_analyze.argtypes = [
             _i32p,                            # feats
             ctypes.POINTER(ctypes.c_float),   # vals
+            _i32p,                            # fields (nullable)
             ctypes.c_int64, ctypes.c_int64,   # n, f
             ctypes.c_int32,                   # sentinel
             _i32p, _i32p,                     # out_lo, out_hi
@@ -147,12 +148,13 @@ HAS_PAD = 1
 ALL_ONES = 4
 VALS_I8 = 8
 VALS_BF16 = 16
+FIELDS_IOTA = 32
 # decision bits added by compact_batch below
 DELTA = 2
 
 
 def compact_batch(feats, vals, fields, sentinel: int, try_delta: bool,
-                  n_threads: int):
+                  n_threads: int, fields_i8_ok: bool = True):
     """Native fused batch compaction: one GIL-released analyze pass, the
     encoding decisions (mirroring train.py::_compact's numpy logic exactly),
     then one GIL-released encode pass writing ONLY the chosen outputs.
@@ -186,6 +188,7 @@ def compact_batch(feats, vals, fields, sentinel: int, try_delta: bool,
     hi = np.empty((f,), np.int32)
     facts = cdll.ftrl_compact_analyze(
         feats.ctypes.data_as(i32p), vals.ctypes.data_as(f32p),
+        fields.ctypes.data_as(i32p) if fields is not None else None,
         n, f, sentinel, lo.ctypes.data_as(i32p), hi.ctypes.data_as(i32p),
         n_threads,
     )
@@ -197,6 +200,9 @@ def compact_batch(feats, vals, fields, sentinel: int, try_delta: bool,
     ones_marker = bool(facts & ALL_ONES) and not has_pad
     write_i8 = not ones_marker and bool(facts & VALS_I8)
     write_bf16 = not ones_marker and not write_i8 and bool(facts & VALS_BF16)
+    iota_marker = (
+        fields is not None and bool(facts & FIELDS_IOTA) and not has_pad
+    )
     flags = facts & HAS_PAD
     if delta:
         flags |= DELTA
@@ -206,10 +212,16 @@ def compact_batch(feats, vals, fields, sentinel: int, try_delta: bool,
         flags |= VALS_I8
     if write_bf16:
         flags |= VALS_BF16
+    if iota_marker:
+        flags |= FIELDS_IOTA
     feats_u16 = np.empty((n, f), np.uint16) if delta else None
     vals_i8 = np.empty((n, f), np.int8) if write_i8 else None
     vals_bf16 = np.empty((n, f), np.uint16) if write_bf16 else None
-    fields_i8 = np.empty((n, f), np.int8) if fields is not None else None
+    fields_i8 = (
+        np.empty((n, f), np.int8)
+        if fields is not None and fields_i8_ok and not iota_marker
+        else None
+    )
     if delta or write_i8 or write_bf16 or fields_i8 is not None:
         cdll.ftrl_compact_encode(
             feats.ctypes.data_as(i32p), vals.ctypes.data_as(f32p),

@@ -272,6 +272,7 @@ constexpr int64_t kHasPad = 1;    // any feat id == sentinel
 constexpr int64_t kAllOnes = 4;   // every val exactly 1.0f
 constexpr int64_t kValsI8 = 8;    // every val integral in [-128, 127]
 constexpr int64_t kValsBf16 = 16; // every val exactly bf16-representable
+constexpr int64_t kFieldsIota = 32;  // every row's fields are exactly 0..F-1
 
 namespace {
 
@@ -288,11 +289,12 @@ inline uint16_t bf16_round(float v) {
 // measured SLOWER than the numpy passes it replaces (8 ns/element).
 void compact_scan_range(const int32_t* __restrict__ feats,
                         const float* __restrict__ vals,
+                        const int32_t* __restrict__ fields,  // nullable
                         int64_t row0, int64_t row1, int64_t f,
                         int32_t sentinel,
                         int32_t* __restrict__ lo, int32_t* __restrict__ hi,
                         int32_t* __restrict__ pad_m,
-                        int32_t* __restrict__ bads /* [3] */) {
+                        int32_t* __restrict__ bads /* [4] */) {
     for (int64_t i = row0; i < row1; ++i) {
         const int32_t* __restrict__ fr = feats + i * f;
         for (int64_t j = 0; j < f; ++j) {
@@ -330,6 +332,17 @@ void compact_scan_range(const int32_t* __restrict__ feats,
     bads[0] = ones_bad;
     bads[1] = i8_bad;
     bads[2] = bf16_bad;
+    int32_t iota_bad = 0;
+    if (fields) {
+        for (int64_t i = row0; i < row1; ++i) {
+            const int32_t* __restrict__ fr = fields + i * f;
+            for (int64_t j = 0; j < f; ++j)
+                iota_bad |= (fr[j] != static_cast<int32_t>(j));
+        }
+    } else {
+        iota_bad = 1;
+    }
+    bads[3] = iota_bad;
 }
 
 }  // namespace
@@ -343,17 +356,18 @@ extern "C" {
 // u16, all-ones marker, i8 vs bf16) and allocates only the output buffers
 // pass 2 will actually write.
 int64_t ftrl_compact_analyze(
-    const int32_t* feats, const float* vals,
+    const int32_t* feats, const float* vals, const int32_t* fields,
     int64_t n, int64_t f, int32_t sentinel,
     int32_t* out_lo, int32_t* out_hi, int32_t n_threads) {
     if (n <= 0 || f <= 0) {
         for (int64_t j = 0; j < f; ++j) { out_lo[j] = 0; out_hi[j] = 0; }
-        return kAllOnes;  // empty: vacuously all-ones, no padding
+        // empty: vacuously all-ones / iota, no padding
+        return kAllOnes | (fields ? kFieldsIota : 0);
     }
     int t_count = n_threads > 8 ? 8 : (n_threads < 1 ? 1 : n_threads);
     if (n * f < (1 << 17)) t_count = 1;  // thread spawn beats the work below
     size_t fs = static_cast<size_t>(f);
-    size_t stride = fs * 3 + 3;  // lo | hi | pad_m | bads[3] per thread
+    size_t stride = fs * 3 + 4;  // lo | hi | pad_m | bads[4] per thread
     std::vector<int32_t> acc(static_cast<size_t>(t_count) * stride);
     auto run = [&](int t, int64_t a, int64_t b) {
         int32_t* base = acc.data() + static_cast<size_t>(t) * stride;
@@ -361,7 +375,7 @@ int64_t ftrl_compact_analyze(
         int32_t* hi = base + fs;
         for (size_t j = 0; j < fs; ++j) { lo[j] = INT32_MAX; hi[j] = -1; }
         // pad_m zero-initialized by the vector
-        compact_scan_range(feats, vals, a, b, f, sentinel, lo, hi,
+        compact_scan_range(feats, vals, fields, a, b, f, sentinel, lo, hi,
                            base + 2 * fs, base + 3 * fs);
     };
     if (t_count == 1) {
@@ -375,7 +389,7 @@ int64_t ftrl_compact_analyze(
     }
     int32_t* lo = acc.data();
     int32_t* hi = acc.data() + fs;
-    int32_t pad = 0, ones_bad = 0, i8_bad = 0, bf16_bad = 0;
+    int32_t pad = 0, ones_bad = 0, i8_bad = 0, bf16_bad = 0, iota_bad = 0;
     for (int t = 0; t < t_count; ++t) {
         int32_t* base = acc.data() + static_cast<size_t>(t) * stride;
         for (size_t j = 0; j < fs; ++j) {
@@ -388,6 +402,7 @@ int64_t ftrl_compact_analyze(
         ones_bad |= base[3 * fs + 0];
         i8_bad |= base[3 * fs + 1];
         bf16_bad |= base[3 * fs + 2];
+        iota_bad |= base[3 * fs + 3];
     }
     for (size_t j = 0; j < fs; ++j) {
         if (hi[j] < lo[j]) lo[j] = 0;  // all-padding column: base 0 (numpy)
@@ -399,6 +414,7 @@ int64_t ftrl_compact_analyze(
     if (!ones_bad) flags |= kAllOnes;
     if (!i8_bad) flags |= kValsI8;
     if (!bf16_bad) flags |= kValsBf16;
+    if (!iota_bad) flags |= kFieldsIota;
     return flags;
 }
 

@@ -707,9 +707,11 @@ class Trainer:
         if f_dim and vals.dtype == np.float32:
             from ftrl_ffm_tpu import native as _native
 
-            nat_fields = None
-            if self.cfg.model_type == "FFM" and self.cfg.n_fields <= 127:
-                nat_fields = fields.reshape(-1, f_dim)
+            nat_fields = (
+                fields.reshape(-1, f_dim)
+                if self.cfg.model_type == "FFM"
+                else None
+            )
             # n_threads=1: the two passes are vectorized and memory-bound
             # (~1.5 ms at B=16384); std::thread spawn + first-touch page
             # faults measured slower at every thread count on this host
@@ -720,6 +722,7 @@ class Trainer:
                 sent,
                 self._delta_ok,
                 1,
+                fields_i8_ok=self.cfg.n_fields <= 127,
             )
         if res is not None:
             flags, f_u16, base, v_i8, v_bf16, fld_i8 = res
@@ -743,11 +746,16 @@ class Trainer:
             else:
                 vals_c = vals
             if fields_c is None:
-                fields_c = (
-                    fld_i8.reshape(fields.shape)
-                    if fld_i8 is not None
-                    else fields.astype(fdt)
-                )
+                if flags & _native.FIELDS_IOTA:
+                    # zero-ROW iota marker: every row's fields are exactly
+                    # 0..F-1 (canonical one-feature-per-field data) and the
+                    # batch is pad-free — reconstructed on device
+                    # (models/base.py::widen_batch)
+                    fields_c = fields[..., :0, :].astype(np.int8)
+                elif fld_i8 is not None:
+                    fields_c = fld_i8.reshape(fields.shape)
+                else:
+                    fields_c = fields.astype(fdt)
             sw_i8 = sample_w.astype(np.int8)
             if not np.array_equal(sw_i8.astype(np.float32), sample_w):
                 sw_i8 = sample_w  # fractional sample weights: keep f32
@@ -759,12 +767,22 @@ class Trainer:
                 sw_i8,
                 feats_base,
             )
-        if fields_c is None:
-            fields_c = fields.astype(fdt)
-        # padding presence (any sentinel id): decides both the delta fast
-        # path and the all-ones vals marker below
+        # padding presence (any sentinel id): decides the delta fast path,
+        # the all-ones vals marker and the fields-iota marker below
         flat0 = feats.reshape(-1, feats.shape[-1])
         has_pad = int(flat0.max(initial=0)) == sent if flat0.size else False
+        if fields_c is None:
+            if not has_pad and np.array_equal(
+                fields.reshape(-1, fields.shape[-1]),
+                np.broadcast_to(
+                    np.arange(fields.shape[-1], dtype=fields.dtype),
+                    (fields.size // max(1, fields.shape[-1]),
+                     fields.shape[-1]),
+                ),
+            ):
+                fields_c = fields[..., :0, :].astype(np.int8)
+            else:
+                fields_c = fields.astype(fdt)
         # feats: per-column uint16 delta encoding.  CTR ids cluster in
         # per-field vocab ranges, so (max - min) per column is tiny even when
         # n_feats is huge; delta 65535 is reserved for the padding sentinel.

@@ -219,8 +219,13 @@ def _compact_scenarios(n_feats, n_fields, rng):
     sent = n_feats
     f = 5
 
-    def mk(b, ids=None, vals=None, sw=None, pad_rows=0, group=0):
-        fields = rng.integers(0, n_fields, (b, f)).astype(np.int32)
+    def mk(b, ids=None, vals=None, sw=None, pad_rows=0, group=0, iota=False):
+        if iota:  # canonical one-feature-per-field slot order
+            fields = np.broadcast_to(
+                np.arange(f, dtype=np.int32), (b, f)
+            ).copy()
+        else:
+            fields = rng.integers(0, n_fields, (b, f)).astype(np.int32)
         if ids is None:
             # per-column clustered ids (the CTR shape delta relies on)
             base = rng.integers(0, max(1, n_feats - 300), f)
@@ -261,6 +266,9 @@ def _compact_scenarios(n_feats, n_fields, rng):
         [mk(8, sw=np.full(8, 0.5, np.float32))],   # fractional sample_w
         [mk(8, group=3)],                          # [S, B, F] scan group
         [mk(8, vals=bf16_vals, pad_rows=2), mk(8, vals=f32_vals), mk(8)],
+        [mk(8, iota=True)],                        # fields-iota marker
+        [mk(8, iota=True, pad_rows=2)],            # padded: marker refused
+        [mk(8, iota=True, group=2)],               # iota marker in a group
     ]
 
 

@@ -644,3 +644,81 @@ def test_hbm_estimator_single_device_regimes():
     assert est_s["work"] == 2 * 100_000 * w * 4 + 3 * nnz * w * 4
     assert est_b["work"] == 1_200_000 * w * 4 + 3 * nnz * w * 4
     assert est_s["route"] == est_b["route"] == 0
+
+
+def test_fields_iota_marker_roundtrip(tmp_path):
+    """Canonical one-feature-per-field data ships fields as the zero-row
+    iota marker ([0, F] — ~25% of the canonical upload bytes) and must
+    train identically to compact_transfer=False."""
+    import jax.numpy as jnp
+
+    from ftrl_ffm_tpu.models.base import Batch, widen_batch
+
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "canon.ffm")
+    with open(path, "w") as f:
+        for _ in range(64):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, FIXTURE_FEATS))}:1"
+                for c in range(FIXTURE_FIELDS)
+            ]
+            f.write(" ".join(toks) + "\n")
+
+    kw = dict(train_data=path, model_type="FFM", n_feats=FIXTURE_FEATS,
+              n_fields=FIXTURE_FIELDS, n_factors=4, n_epochs=2,
+              batch_size=16, w_alpha=0.05)
+    t_on = Trainer(Config(**kw))
+    h_on = t_on.train()
+    t_off = Trainer(Config(**kw, compact_transfer=False))
+    h_off = t_off.train()
+    np.testing.assert_allclose(h_on["train_loss"], h_off["train_loss"],
+                               rtol=1e-6)
+
+    # the marker actually engages on a full canonical batch
+    arrays = next(iter(t_on._train_batches(np.random.default_rng(0))))
+    c = Trainer(Config(**kw))._compact(arrays)
+    assert c[0].shape[-2] == 0 and c[0].shape[-1] == FIXTURE_FIELDS
+    assert c[0].dtype == np.int8
+
+    # widen_batch reconstructs the iota exactly
+    b = Batch(
+        fields=jnp.zeros((0, 4), jnp.int8),
+        feats=jnp.asarray(rng.integers(0, 10, (8, 4)), jnp.int32),
+        vals=jnp.ones((8, 4), jnp.float32),
+        y=jnp.zeros((8,), jnp.int8),
+        sample_w=jnp.ones((8,), jnp.int8),
+    )
+    w = widen_batch(b)
+    np.testing.assert_array_equal(
+        np.asarray(w.fields), np.broadcast_to(np.arange(4), (8, 4))
+    )
+    # and the LR zero-WIDTH fields marker is untouched by the iota decode
+    b_lr = b._replace(fields=jnp.zeros((8, 0), jnp.int8))
+    assert widen_batch(b_lr).fields.shape == (8, 0)
+
+
+def test_fields_iota_marker_sharded(tmp_path):
+    """The [0, F] fields marker must survive mesh placement (0 rows shard
+    evenly) on both replicate and route meshes, with losses equal to the
+    single-device run."""
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "canon.ffm")
+    with open(path, "w") as f:
+        for _ in range(128):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, FIXTURE_FEATS))}:1"
+                for c in range(FIXTURE_FIELDS)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(train_data=path, model_type="FFM", n_feats=FIXTURE_FEATS,
+              n_fields=FIXTURE_FIELDS, n_factors=4, n_epochs=1,
+              batch_size=32, w_alpha=0.05)
+    ref = Trainer(Config(**kw)).train()
+    for mesh in ((4, 2), (1, 8)):
+        hist = Trainer(
+            Config(**kw, mesh_data=mesh[0], mesh_model=mesh[1])
+        ).train()
+        np.testing.assert_allclose(
+            hist["train_loss"], ref["train_loss"], rtol=2e-5,
+            err_msg=f"mesh {mesh}",
+        )
