@@ -97,6 +97,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="table-sharding mesh axis size")
     p.add_argument("--eval_auc", type=_str2bool, default=True)
     p.add_argument("--shuffle", type=_str2bool, default=True)
+    p.add_argument("--device_cache", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="offline mode: keep the whole dataset resident in "
+                        "device HBM and run epochs fully on device "
+                        "(auto = when it fits next to the model state)")
     p.add_argument("--compress_level", type=int, default=3, help="zstd level")
     p.add_argument("--save_every", type=int, default=0,
                    help="mid-training checkpoint every N steps (0 = end only)")

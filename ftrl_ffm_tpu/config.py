@@ -116,6 +116,17 @@ class Config:
     route_overflow_policy: str = "warn"
     eval_auc: bool = True            # new capability vs reference (log-loss only)
     shuffle: bool = True             # offline mode epoch shuffle
+    # Device-resident offline datasets (offline mode, single process,
+    # unsharded): upload the parsed dataset to HBM once, then run every
+    # epoch's batch gather + train steps entirely on device (host supplies
+    # only the 4-byte/sample shuffle permutation) — the TPU-native form of
+    # the reference's in-memory offline mode (src/task/ftrl_offline.cpp:21-42
+    # loads everything into RAM; here "memory" is HBM).  Batches are
+    # identical to the streamed path's (ulp-level jit-fusion slack only,
+    # like steps_per_call).  "auto" engages when the dataset
+    # fits the per-device HBM budget next to the model state and update
+    # working set; "on" forces it (OOM risk accepted); "off" disables.
+    device_cache: str = "auto"       # "auto" | "on" | "off"
     save_every: int = 0              # checkpoint every N steps (0 = only at end)
     compress_level: int = 3          # zstd level for checkpoints / model export
 
@@ -135,6 +146,8 @@ class Config:
             raise ValueError(f"invalid table_dtype: {self.table_dtype}")
         if self.acc_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"invalid acc_dtype: {self.acc_dtype}")
+        if self.device_cache not in ("auto", "on", "off"):
+            raise ValueError(f"invalid device_cache: {self.device_cache}")
         if self.lookup_mode not in ("auto", "replicate", "route"):
             raise ValueError(f"invalid lookup_mode: {self.lookup_mode}")
         if self.route_overflow_policy not in ("warn", "error"):

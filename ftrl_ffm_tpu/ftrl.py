@@ -51,6 +51,21 @@ class FtrlParams(NamedTuple):
     l2: float = 5.0
 
 
+# "Has this coordinate ever been touched by a real gradient?"  Exact zero
+# would be the natural test, but the FFM self-slot gradient is computed by
+# cancellation (ops/interactions.py: t - oh_e * xv), and XLA's fusion
+# choices — which legitimately differ between compilations of the same math
+# (streamed vs device-cached epochs, scan vs standalone steps) — can leave
+# O(ulp) cancellation dust (measured ~1e-11 in g, so ~1e-22 in g^2) on
+# slots that are mathematically untouched.  An exact-zero test amplifies
+# that dust to init magnitude in vec_w: keep_init flips to the closed form,
+# which zeros the slot — so two bit-identical training runs could disagree
+# at init scale depending on compilation alone.  Any real touch contributes
+# g^2 >= ~1e-12 (|g| >= ~1e-6 at logistic-gradient x value scales), so
+# 1e-16 separates the regimes by >4 orders of magnitude on either side.
+UNTOUCHED_N = 1e-16
+
+
 def ftrl_weights(n: jax.Array, z: jax.Array, p: FtrlParams) -> jax.Array:
     """Closed-form FTRL-Proximal weight from accumulators, elementwise.
 
@@ -139,7 +154,7 @@ def dense_ftrl_update(
     sum_g, sum_g2 = scatter_grads(n_tab.shape, ids, g, g2)
     w_f32 = w_tab.astype(n_tab.dtype)
     new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, p)
-    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_f32)
+    new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, p), w_f32)
     return new_n, new_z, new_w.astype(w_tab.dtype)
 
 
@@ -183,7 +198,7 @@ def sparse_ftrl_update(
     z_rows = jnp.take(z_tab, uniq, axis=0, mode="clip")
     w_rows = jnp.take(w_tab, uniq, axis=0, mode="clip").astype(n_rows.dtype)
     new_n, new_z = ftrl_accumulate(n_rows, z_rows, w_rows, sum_g, sum_g2, p)
-    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_rows)
+    new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, p), w_rows)
 
     # NOT unique_indices=True: uniq repeats the drop sentinel in every slot
     # past the last run, and duplicate indices under unique_indices=True are
@@ -221,7 +236,7 @@ def dense_ftrl_update2(
         sum_g, sum_g2 = acc[:, :d], acc[:, d:]
     w_f32 = w_tab.astype(n_tab.dtype)
     new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, p)
-    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_f32)
+    new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, p), w_f32)
     return new_n, new_z, new_w.astype(w_tab.dtype)
 
 
@@ -262,11 +277,11 @@ def dense_ftrl_update2_aug(
     new_vn, new_vz = ftrl_accumulate(
         vec_n, vec_z, w_f32, acc[:, :d], acc[:, d:], p
     )
-    new_vw = jnp.where(new_vn > 0, ftrl_weights(new_vn, new_vz, p), w_f32)
+    new_vw = jnp.where(new_vn > UNTOUCHED_N, ftrl_weights(new_vn, new_vz, p), w_f32)
     new_ln, new_lz = ftrl_accumulate(
         lin_n, lin_z, lin_w, acc[:, lane], acc[:, d + lane], p
     )
-    new_lw = jnp.where(new_ln > 0, ftrl_weights(new_ln, new_lz, p), lin_w)
+    new_lw = jnp.where(new_ln > UNTOUCHED_N, ftrl_weights(new_ln, new_lz, p), lin_w)
     return (
         (new_vn, new_vz, new_vw.astype(vec_w.dtype)),
         (new_ln, new_lz, new_lw),
@@ -310,7 +325,7 @@ def sparse_ftrl_update2(
     else:
         sum_g, sum_g2 = sums[:, :d], sums[:, d:]
     new_n, new_z = ftrl_accumulate(n_rows, z_rows, w_rows, sum_g, sum_g2, p)
-    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w_rows)
+    new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, p), w_rows)
 
     kw = dict(mode="drop", indices_are_sorted=True)
     n_tab = n_tab.at[uniq].set(new_n, **kw)
@@ -365,7 +380,7 @@ def dense_ftrl_update_inplace(
         wf = wb.astype(nb.dtype)
         new_z = zb - sigma * wf
         new_n = nb + ab
-        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), wf)
+        new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, p), wf)
         return new_n, new_z, new_w.astype(wb.dtype)
 
     r = n_tab.shape[0]

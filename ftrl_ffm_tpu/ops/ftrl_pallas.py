@@ -34,7 +34,7 @@ def _pass_kernel(n_ref, z_ref, w_ref, a_ref, n_out, z_out, w_out,
     # single source of truth for the math: ftrl.py (plain jnp, so it lowers
     # inside the kernel); this body must stay equivalent to ftrl.py::
     # dense_ftrl_update_inplace's blk() fallback
-    from ftrl_ffm_tpu.ftrl import FtrlParams, ftrl_weights
+    from ftrl_ffm_tpu.ftrl import UNTOUCHED_N, FtrlParams, ftrl_weights
 
     p = FtrlParams(alpha=alpha, beta=beta, l1=l1, l2=l2)
     n = n_ref[:]
@@ -43,7 +43,7 @@ def _pass_kernel(n_ref, z_ref, w_ref, a_ref, n_out, z_out, w_out,
     sigma = (jnp.sqrt(n + a) - jnp.sqrt(n)) / alpha
     new_z = z_ref[:] - sigma * w
     new_n = n + a
-    new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, p), w)
+    new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, p), w)
     n_out[:] = new_n
     z_out[:] = new_z
     w_out[:] = new_w.astype(w_out.dtype)

@@ -51,6 +51,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ftrl_ffm_tpu.config import Config
 from ftrl_ffm_tpu.ftrl import (
+    UNTOUCHED_N,
     FtrlParams,
     ftrl_accumulate,
     ftrl_weights,
@@ -354,7 +355,7 @@ class ShardedStep:
             sum_g, sum_g2 = acc[:, :d], acc[:, d:]
         w_f32 = w_tab.astype(n_tab.dtype)
         new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, self.params)
-        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, self.params), w_f32)
+        new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, self.params), w_f32)
         return new_n, new_z, new_w.astype(w_tab.dtype)
 
     # ---- shared logits plumbing ----
@@ -476,7 +477,7 @@ class ShardedStep:
             sum_g, sum_g2 = acc[:, :d], acc[:, d:]
         w_f32 = w_tab.astype(n_tab.dtype)
         new_n, new_z = ftrl_accumulate(n_tab, z_tab, w_f32, sum_g, sum_g2, self.params)
-        new_w = jnp.where(new_n > 0, ftrl_weights(new_n, new_z, self.params), w_f32)
+        new_w = jnp.where(new_n > UNTOUCHED_N, ftrl_weights(new_n, new_z, self.params), w_f32)
         return new_n, new_z, new_w.astype(w_tab.dtype)
 
     # ---- steps (bodies run per device under shard_map) ----

@@ -262,6 +262,26 @@ class Trainer:
                 self._multi_eval_impl,
                 **({"in_shardings": (fmt, auto)} if fmt is not None else {}),
             )
+            self._gather_train_multi = jax.jit(
+                self._gather_train_impl,
+                donate_argnums=0,
+                **(
+                    {
+                        "in_shardings": (fmt, auto, auto, auto),
+                        "out_shardings": (fmt, auto, auto, None),
+                    }
+                    if fmt is not None
+                    else {}
+                ),
+            )
+            self._gather_eval_multi = jax.jit(
+                self._gather_eval_impl,
+                **(
+                    {"in_shardings": (fmt, auto, auto, auto)}
+                    if fmt is not None
+                    else {}
+                ),
+            )
             self._fmt, self._fmt_auto = fmt, auto
         self._spc = max(1, cfg.steps_per_call)
         # delta-encoding hysteresis: one batch that can't delta-encode
@@ -272,6 +292,8 @@ class Trainer:
         # observations from the first full pass and the agreed contract
         self._dyn_obs: dict = {}
         self._dyn_agreed: dict = {}
+        # device-resident offline datasets (Config.device_cache), per role
+        self._dev_cache: dict = {}
 
     def _warn_if_oversized(self) -> None:
         """Preflight HBM estimate: a raw XLA RESOURCE_EXHAUSTED from deep in
@@ -333,6 +355,10 @@ class Trainer:
         self._eval_step = jax.jit(self._eval_with_auc)
         self._train_multi = jax.jit(self._multi_train_impl, donate_argnums=0)
         self._eval_multi = jax.jit(self._multi_eval_impl)
+        self._gather_train_multi = jax.jit(
+            self._gather_train_impl, donate_argnums=0
+        )
+        self._gather_eval_multi = jax.jit(self._gather_eval_impl)
         if hasattr(self, "_eval_plain_jit"):
             del self._eval_plain_jit
 
@@ -362,6 +388,75 @@ class Trainer:
 
         state, (ls, ct) = jax.lax.scan(body, state, batches)
         return state, jnp.sum(ls), jnp.sum(ct), None
+
+    # ---- device-resident offline epochs (Config.device_cache) ----
+    # The dataset lives in HBM; each dispatch receives only [S, B] int32
+    # permutation indices and gathers its batches on device — the TPU-native
+    # form of the reference's in-memory offline mode
+    # (src/task/ftrl_offline.cpp:21-42, 63-103: load everything, shuffle
+    # indices, train from memory).  Padded index rows point at the one
+    # appended inert row (feat id = n_feats, value 0) and get sample_w 0,
+    # so gathered batches equal the streamed batch_iterator's exactly
+    # (remaining diff: ulp-level jit-boundary fusion, like steps_per_call).
+    def _take_cached(self, ds, ix, n_real):
+        """Gather one batch from the device-resident dataset.
+
+        fields/vals may be stored as dataset-level zero-size markers (see
+        _ensure_device_cache) and are then re-emitted in the streamed
+        feeder's marker shapes, so widen_batch and the kernels keep the
+        exact canonical-content specializations ([0, F] fields = iota,
+        [B, 0] vals = ones) that the per-batch _compact path gets — losing
+        them costs ~40% step time on canonical CTR data (measured: the
+        noncanon bench row)."""
+        fields, feats, vals, y = ds
+        b = ix.shape[0]
+        if fields.shape[0] == 0 and fields.shape[-1] == 0:
+            fields_b = jnp.zeros((b, 0), jnp.int32)  # LR/FM: fields unread
+        elif fields.shape[0] == 0:
+            fields_b = fields  # [0, F] iota marker, pass through
+        else:
+            fields_b = jnp.take(fields, ix, axis=0)
+        if vals.shape[0] == 0:
+            # all-ones marker: widen_batch reconstructs ones for every row,
+            # including pad-index rows (sample_w 0 + the feat-id drop
+            # sentinel keep those inert regardless of their values)
+            vals_b = jnp.zeros((b, 0), jnp.float32)
+        else:
+            vals_b = jnp.take(vals, ix, axis=0)
+        return Batch(
+            fields=fields_b,
+            feats=jnp.take(feats, ix, axis=0),
+            vals=vals_b,
+            y=jnp.take(y, ix, axis=0),
+            sample_w=(ix < n_real).astype(jnp.float32),
+        )
+
+    def _gather_train_impl(self, state: ModelState, ds, idx, n_real):
+        def body(st, ix):
+            out = self.model.train_step(st, self._take_cached(ds, ix, n_real))
+            return out.state, (out.loss_sum, out.count)
+
+        state, (ls, ct) = jax.lax.scan(body, state, idx)
+        # per-step sums stay un-reduced: the host accumulates them in f64
+        # exactly like the streamed path (train_epoch's pass accounting)
+        return state, ls, ct, None
+
+    def _gather_eval_impl(self, state: ModelState, ds, idx, n_real):
+        def body(carry, ix):
+            ls0, ct0, pos0, neg0 = carry
+            b = self._take_cached(ds, ix, n_real)
+            ls, ct, logits = self.model.eval_step(state, b)
+            pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
+            return (ls0 + ls, ct0 + ct, pos0 + pos, neg0 + neg), None
+
+        init = (
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((AUC_BINS,), jnp.float32),
+            jnp.zeros((AUC_BINS,), jnp.float32),
+        )
+        (ls, ct, pos, neg), _ = jax.lax.scan(body, init, idx)
+        return ls, ct, pos, neg, None
 
     def _multi_eval_impl(self, state: ModelState, batches: Batch):
         def body(carry, b):
@@ -930,6 +1025,154 @@ class Trainer:
             yield self._inert_batch()
             k += 1
 
+    def _ensure_ds(self, role: str):
+        """Load (once) the offline in-memory dataset for `role`
+        (reference: src/task/ftrl_offline.cpp:21-42 loads full datasets in
+        the ctor; here lazily on first use)."""
+        cfg = self.cfg
+        attr = "_train_ds" if role == "train" else "_eval_ds"
+        if not hasattr(self, attr):
+            path = cfg.train_data if role == "train" else cfg.eval_data
+            setattr(
+                self,
+                attr,
+                load_file(
+                    path,
+                    cfg.file_type,
+                    cfg.max_nnz,
+                    cfg.n_feats,
+                    cfg.n_fields,
+                    n_workers=cfg.n_threads,
+                    byte_range=self._byte_range(path),
+                ),
+            )
+        return getattr(self, attr)
+
+    def _ensure_device_cache(self, role: str):
+        """Device-resident offline dataset for `role`, or None when the mode
+        is not engaged (Config.device_cache).
+
+        Engaged: offline, single process, unsharded, and (auto) the arrays
+        fit per-device HBM next to the state + update working set.  The
+        uploaded dataset carries one extra inert row (field 0, feat id =
+        n_feats, value 0) that padded permutation indices point at, so a
+        gathered batch equals the streamed batch_iterator's padded batches."""
+        cfg = self.cfg
+        if cfg.online or cfg.device_cache == "off":
+            return None
+        if self._sharded is not None or self._proc_n > 1:
+            return None
+        if role == "eval" and not cfg.eval_data:
+            return None
+        if role not in self._dev_cache:
+            ds = self._ensure_ds(role)
+            self._dev_cache[role] = None
+            if ds.n > 0 and self._device_cache_fits(ds.n):
+                f = cfg.max_nnz
+                pad_fields = np.zeros((1, f), np.int32)
+                pad_feats = np.full((1, f), cfg.n_feats, np.int32)
+                # dataset-level canonical-content markers (the cached twin
+                # of _compact's per-batch zero-width markers): store only a
+                # zero-size sentinel when fields/vals carry no information
+                if cfg.model_type in ("LR", "FM"):
+                    fields_dev = jnp.zeros((0, 0), jnp.int32)  # never read
+                elif (ds.fields == np.arange(f, dtype=np.int32)).all():
+                    fields_dev = jnp.zeros((0, f), jnp.int32)  # iota rows
+                else:
+                    fields_dev = jnp.asarray(
+                        np.concatenate([ds.fields, pad_fields])
+                    )
+                if (ds.vals == 1.0).all():
+                    vals_dev = jnp.zeros((0, f), jnp.float32)  # all ones
+                else:
+                    vals_dev = jnp.asarray(
+                        np.concatenate(
+                            [ds.vals, np.zeros((1, f), np.float32)]
+                        )
+                    )
+                ds_dev = (
+                    fields_dev,
+                    jnp.asarray(np.concatenate([ds.feats, pad_feats])),
+                    vals_dev,
+                    jnp.asarray(np.concatenate([ds.y, np.zeros(1, np.float32)])),
+                )
+                self._dev_cache[role] = (ds_dev, ds.n)
+        return self._dev_cache[role]
+
+    def _device_cache_fits(self, n: int) -> bool:
+        if self.cfg.device_cache == "on":
+            return True
+        ds_bytes = (n + 1) * (12 * self.cfg.max_nnz + 4)
+        try:
+            dev = jax.devices()[0]
+            if dev.platform != "tpu":
+                # CPU/GPU dev backends: "device memory" is host RAM that
+                # already holds the parsed arrays — nothing extra to gate on
+                return True
+            stats = {}
+            try:
+                stats = dev.memory_stats() or {}
+            except Exception:
+                pass
+            limit = stats.get("bytes_limit", 16 << 30)
+        except Exception:
+            return False
+        est = estimate_hbm_bytes(self.cfg)
+        return est["total"] + ds_bytes <= 0.8 * limit
+
+    def _cached_idx_chunks(self, n: int, order: np.ndarray):
+        """Yield ([chunk, B] int32 index blocks, real-step count) over a
+        permutation, padded with pointers at the inert row so every dispatch
+        compiles once."""
+        bs = self._local_bs
+        n_steps = -(-n // bs)
+        pad = n_steps * bs - n
+        if pad:
+            order = np.concatenate([order, np.full(pad, n, order.dtype)])
+        idx = order.reshape(n_steps, bs).astype(np.int32)
+        chunk = self._spc if self._spc > 1 else min(n_steps, 8)
+        for s0 in range(0, n_steps, chunk):
+            part = idx[s0 : s0 + chunk]
+            real = part.shape[0]
+            if real < chunk:
+                part = np.concatenate(
+                    [part, np.full((chunk - real, bs), n, np.int32)]
+                )
+            yield part, real
+
+    def _train_epoch_cached(self, cache, epoch_rng, maybe_save) -> float:
+        ds_dev, n = cache
+        order = np.arange(n)
+        if self.cfg.shuffle:
+            # same rng call as batch_iterator's host-side shuffle, so the
+            # cached and streamed paths see identical permutations
+            epoch_rng.shuffle(order)
+        n_arr = jnp.asarray(n, jnp.int32)
+        sums = []
+        done = 0
+        for part, real in self._cached_idx_chunks(n, order):
+            self.state, ls, ct, _ = self._call_step(
+                "_gather_train_multi", self.state, ds_dev, part, n_arr
+            )
+            sums.append((ls, ct))  # [chunk]-vectors of per-step sums
+            prev, done = done, done + real
+            maybe_save(self._steps_done + done, self._steps_done + prev)
+        self._steps_done += done
+        self._epoch_route_overflow = 0
+        if not sums:
+            return float("nan")
+        ls_v, ct_v = jax.device_get(
+            (
+                jnp.concatenate([s for s, _ in sums]),
+                jnp.concatenate([c for _, c in sums]),
+            )
+        )
+        loss_sum = np.sum(np.asarray(ls_v), dtype=np.float64)
+        count = np.sum(np.asarray(ct_v), dtype=np.float64)
+        acc = LossAccumulator()
+        acc.update(loss_sum, count)
+        return acc.mean
+
     def _train_batches(self, epoch_rng: np.random.Generator):
         cfg = self.cfg
         if cfg.online:
@@ -946,18 +1189,8 @@ class Trainer:
             )
             it = reader.batches()
         else:
-            if not hasattr(self, "_train_ds"):
-                self._train_ds = load_file(
-                    cfg.train_data,
-                    cfg.file_type,
-                    cfg.max_nnz,
-                    cfg.n_feats,
-                    cfg.n_fields,
-                    n_workers=cfg.n_threads,
-                    byte_range=self._byte_range(cfg.train_data),
-                )
             it = batch_iterator(
-                self._train_ds,
+                self._ensure_ds("train"),
                 self._local_bs,
                 shuffle=cfg.shuffle,
                 rng=epoch_rng,
@@ -991,18 +1224,11 @@ class Trainer:
             )
             it = reader.batches()
         else:
-            if not hasattr(self, "_eval_ds"):
-                self._eval_ds = load_file(
-                    cfg.eval_data,
-                    cfg.file_type,
-                    cfg.max_nnz,
-                    cfg.n_feats,
-                    cfg.n_fields,
-                    n_workers=cfg.n_threads,
-                    byte_range=self._byte_range(cfg.eval_data),
-                )
             it = batch_iterator(
-                self._eval_ds, self._local_bs, shuffle=False, sentinel=cfg.n_feats
+                self._ensure_ds("eval"),
+                self._local_bs,
+                shuffle=False,
+                sentinel=cfg.n_feats,
             )
         if self._proc_n == 1:
             yield from it
@@ -1035,6 +1261,9 @@ class Trainer:
                 if step_now // save_every > step_prev // save_every:
                     self._save_mid_checkpoint(step_now)
 
+        cache = self._ensure_device_cache("train")
+        if cache is not None:
+            return self._train_epoch_cached(cache, epoch_rng, maybe_save)
         overflows = []
         if s > 1:
             n_steps = 0
@@ -1360,7 +1589,17 @@ class Trainer:
             if len(r) > 4:
                 self._note_eval_overflow(r[4])
 
-        if self._spc > 1:
+        cache = self._ensure_device_cache("eval")
+        if cache is not None:
+            ds_dev, n = cache
+            n_arr = jnp.asarray(n, jnp.int32)
+            for part, _ in self._cached_idx_chunks(n, np.arange(n)):
+                add(
+                    self._call_step(
+                        "_gather_eval_multi", self.state, ds_dev, part, n_arr
+                    )
+                )
+        elif self._spc > 1:
             groups = self._grouped(self._eval_batches(), self._spc)
             for group, _ in self._device_feed_multi(groups, role="eval"):
                 add(self._call_step("_eval_multi", self.state, group))

@@ -1,0 +1,168 @@
+"""Device-resident offline mode (Config.device_cache): the dataset lives in
+device memory and epochs run as on-device gather + scan — numerics must be
+bit-identical to the streamed host-fed offline path (same shuffle rng, same
+padding convention), save_every must still fire, and gating must fall back
+to streaming where the mode doesn't apply."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ftrl_ffm_tpu.config import Config
+from ftrl_ffm_tpu.train import Trainer
+from tests.common import FIXTURE_FEATS, FIXTURE_FIELDS, write_fixture
+
+
+def _cfg(train_path, eval_path="", **kw):
+    base = dict(
+        train_data=train_path,
+        eval_data=eval_path,
+        model_type="FFM",
+        n_feats=FIXTURE_FEATS,
+        n_fields=FIXTURE_FIELDS,
+        n_factors=4,
+        n_epochs=3,
+        online=False,
+        batch_size=24,  # 64 fixture lines -> 3 padded-steps per epoch
+        w_alpha=0.05,
+        w_l1=0.15,
+        w_l2=1.0,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def _state_equal(a, b):
+    # ulp-level slack only: scan-body vs standalone-step jit boundaries fuse
+    # reductions differently (same precedent/tolerance as
+    # test_train.py::test_steps_per_call_matches_single_step)
+    fa, fb = jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+    assert len(fa) == len(fb)
+    for x, y in zip(fa, fb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-6, atol=1e-6
+        )
+
+
+def _reverse_fields(path):
+    """Rewrite a libffm file with per-line token order reversed, so fields
+    are NOT the canonical 0..F-1 iota: the cached dataset-level iota marker
+    must not engage, exercising the general-fields kernel path on both
+    sides.  (The general path's self-slot cancellation leaves fusion-
+    dependent O(ulp) dust on mathematically-untouched slots; keep_init is
+    dust-proof against it — ftrl.UNTOUCHED_N — which this comparison also
+    regression-covers: an exact-zero untouched test would amplify the dust
+    to init magnitude in vec_w and fail _state_equal.)"""
+    lines = []
+    with open(path) as f:
+        for ln in f:
+            toks = ln.split()
+            lines.append(" ".join([toks[0]] + toks[:0:-1]))
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+@pytest.mark.parametrize("model_type", ["LR", "FM", "FFM"])
+def test_cached_matches_streamed_exactly(tmp_path, model_type):
+    """device_cache=on vs off: identical per-epoch losses and final state
+    (the cached path gathers the very same padded batches on device)."""
+    ftype = "libsvm" if model_type in ("LR", "FM") else "libffm"
+    train = write_fixture(tmp_path / f"t.{ftype}", ftype, seed=0)
+    evalp = write_fixture(tmp_path / f"e.{ftype}", ftype, seed=1)
+    if model_type == "FFM":
+        _reverse_fields(train)
+        _reverse_fields(evalp)
+    t_on = Trainer(_cfg(train, evalp, model_type=model_type, device_cache="on"))
+    t_off = Trainer(_cfg(train, evalp, model_type=model_type, device_cache="off"))
+    h_on = t_on.train()
+    h_off = t_off.train()
+    assert t_on._dev_cache.get("train") is not None
+    assert "train" not in t_off._dev_cache
+    # same batches, same math; remaining slack is ulp-level jit-boundary
+    # fusion differences (see _state_equal)
+    np.testing.assert_allclose(
+        h_on["train_loss"], h_off["train_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(h_on["eval_loss"], h_off["eval_loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_on["eval_auc"], h_off["eval_auc"], rtol=1e-6)
+    _state_equal(t_on.state, t_off.state)
+
+
+def test_cached_engages_automatically_offline(tmp_path):
+    """auto engages on the CPU test backend (device memory == host RAM)."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train))
+    tr.train_epoch()
+    assert tr._dev_cache.get("train") is not None
+
+
+def test_not_engaged_online_or_sharded(tmp_path):
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    t_onl = Trainer(_cfg(train, online=True))
+    t_onl.train_epoch()
+    assert "train" not in t_onl._dev_cache
+    t_mesh = Trainer(_cfg(train, mesh_model=2, batch_size=16))
+    t_mesh.train_epoch()
+    assert "train" not in t_mesh._dev_cache
+
+
+def test_cached_save_every_fires(tmp_path):
+    from ftrl_ffm_tpu.io.checkpoint import load_checkpoint
+
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    ckpt = str(tmp_path / "mid.ckpt")
+    cfg = _cfg(
+        train, n_epochs=1, batch_size=16, save_every=2, model_path=ckpt,
+        device_cache="on",
+    )
+    tr = Trainer(cfg)
+    tr.train_epoch()
+    state, extra = load_checkpoint(ckpt)
+    assert extra["mid_training_step"] == 4  # 64/16 steps, saved at 2 and 4
+
+
+def test_cached_steps_per_call_grouping(tmp_path):
+    """spc>1 drives the cached chunking; results equal the spc=1 cached run."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    t1 = Trainer(_cfg(train, device_cache="on"))
+    t2 = Trainer(_cfg(train, device_cache="on", steps_per_call=2))
+    h1, h2 = t1.train(), t2.train()
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"], rtol=1e-6)
+    _state_equal(t1.state, t2.state)
+    assert int(t1.state.step) == int(t2.state.step)
+
+
+def test_cached_canonical_markers_match_streamed(tmp_path):
+    """Canonical CTR content (one feature per field in slot order, all values
+    1.0) engages the dataset-level zero-size markers; results must still
+    equal the streamed path, including the padded remainder chunk whose
+    pad-index rows see reconstructed ones/iota (inert via sample_w=0)."""
+    path = str(tmp_path / "canon.ffm")
+    rng = np.random.default_rng(5)
+    with open(path, "w") as f:
+        for _ in range(58):  # not a multiple of 24: remainder batch
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(c * 10, (c + 1) * 10))}:1"
+                for c in range(FIXTURE_FIELDS)
+            ]
+            f.write(" ".join(toks) + "\n")
+    t_on = Trainer(_cfg(path, device_cache="on"))
+    t_off = Trainer(_cfg(path, device_cache="off"))
+    h_on, h_off = t_on.train(), t_off.train()
+    ds_dev, n = t_on._dev_cache["train"]
+    assert n == 58
+    assert ds_dev[0].shape == (0, FIXTURE_FIELDS)  # iota fields marker
+    assert ds_dev[2].shape == (0, FIXTURE_FIELDS)  # all-ones vals marker
+    np.testing.assert_allclose(h_on["train_loss"], h_off["train_loss"], rtol=1e-6)
+    _state_equal(t_on.state, t_off.state)
+
+
+def test_cached_step_count_and_remainder(tmp_path):
+    """64 samples at B=24 -> 3 steps/epoch with a padded remainder; padded
+    samples must not contribute to the loss count or the state."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, device_cache="on", n_epochs=1))
+    loss = tr.train_epoch()
+    assert np.isfinite(loss)
+    assert int(tr.state.step) == 3

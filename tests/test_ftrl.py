@@ -5,6 +5,7 @@ import numpy as np
 import pytest
 
 from ftrl_ffm_tpu.ftrl import (
+    UNTOUCHED_N,
     FtrlParams,
     bias_update,
     dense_ftrl_update,
@@ -117,6 +118,30 @@ def test_dense_update_vector_rows_and_keep_init():
     np.testing.assert_allclose(np.asarray(new_w)[2], expect, rtol=1e-6)
     # g[0] row 2 component 0 is 0 -> but row still touched via other comps
     assert np.asarray(new_n)[2].min() >= 0
+
+
+def test_keep_init_is_dust_proof():
+    """The untouched-row test must not flip on cancellation dust: the FFM
+    self-slot gradient is a subtractive cancellation (ops/interactions.py:
+    t - oh_e * xv) whose O(ulp) residue (~1e-11 in g) varies with XLA fusion
+    choices.  A slot whose only "touches" are dust must keep its init weight
+    — exactly like a slot the compilation cancelled to exact zero — or two
+    runs of identical math diverge at init scale (see ftrl.UNTOUCHED_N)."""
+    r, d = 3, 2
+    init = jnp.full((r, d), 0.07, jnp.float32)
+    ids = jnp.array([0, 1], dtype=jnp.int32)
+    # row 0: cancellation dust; row 1: a real (small) first touch
+    g = jnp.array([[1e-11, -3e-11], [1e-3, 2e-3]], jnp.float32)
+    new_n, new_z, new_w = dense_ftrl_update(
+        jnp.zeros((r, d)), jnp.zeros((r, d)), init, ids, g, g * g, P
+    )
+    assert float(np.asarray(new_n)[0].max()) < UNTOUCHED_N  # dust stays dust
+    np.testing.assert_allclose(np.asarray(new_w)[0], 0.07)  # init kept
+    np.testing.assert_allclose(np.asarray(new_w)[2], 0.07)  # untouched kept
+    expect = closed_form(
+        np.asarray(new_n)[1], np.asarray(new_z)[1], P.alpha, P.beta, P.l1, P.l2
+    )
+    np.testing.assert_allclose(np.asarray(new_w)[1], expect, rtol=1e-6)
 
 
 def test_bias_update():
