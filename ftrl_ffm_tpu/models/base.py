@@ -137,6 +137,44 @@ def widen_batch(b: Batch) -> Batch:
     )
 
 
+def take_cached(ds, ix, n_real) -> Batch:
+    """Gather one batch from a device-resident dataset (Config.device_cache).
+
+    ds: (fields, feats, vals, y) arrays carrying one extra inert tail row
+    (feat id = sentinel, value 0) that padded permutation indices (ix ==
+    n_real... n) point at; sample_w marks them 0.  fields/vals may be
+    dataset-level zero-size markers (see Trainer._ensure_device_cache) and
+    are then re-emitted in the streamed feeder's marker shapes, so
+    widen_batch and the kernels keep the exact canonical-content
+    specializations ([0, F] fields = iota, [B, 0] vals = ones) that the
+    per-batch compact path gets — losing them costs ~40% step time on
+    canonical CTR data (measured: the noncanon bench row).  Runs unsharded
+    or per-device inside shard_map (ix is then the device's slice of the
+    batch's index row)."""
+    fields, feats, vals, y = ds
+    b = ix.shape[0]
+    if fields.shape[0] == 0 and fields.shape[-1] == 0:
+        fields_b = jnp.zeros((b, 0), jnp.int32)  # LR/FM: fields unread
+    elif fields.shape[0] == 0:
+        fields_b = fields  # [0, F] iota marker, pass through
+    else:
+        fields_b = jnp.take(fields, ix, axis=0)
+    if vals.shape[0] == 0:
+        # all-ones marker: widen_batch reconstructs ones for every row,
+        # including pad-index rows (sample_w 0 + the feat-id drop sentinel
+        # keep those inert regardless of their values)
+        vals_b = jnp.zeros((b, 0), jnp.float32)
+    else:
+        vals_b = jnp.take(vals, ix, axis=0)
+    return Batch(
+        fields=fields_b,
+        feats=jnp.take(feats, ix, axis=0),
+        vals=vals_b,
+        y=jnp.take(y, ix, axis=0),
+        sample_w=(ix < n_real).astype(jnp.float32),
+    )
+
+
 def state_formats(state: ModelState, device=None):
     """Row-major layout pins for the 2-D factor tables (or None: don't pin).
 

@@ -178,6 +178,10 @@ class ShardedStep:
                 check_vma=False,
             )
         )
+        # kept for lazily-built variants (build_cached_steps)
+        self._sspecs = sspecs
+        self._train_out_specs = train_out_specs
+        self._eval_out_specs = eval_out_specs
 
         # Multi-step variants: lax.scan over a [S, ...] stack of batches in
         # ONE dispatch — amortizes host->device dispatch latency (the analogue
@@ -199,6 +203,56 @@ class ShardedStep:
                 mesh=mesh,
                 in_specs=(sspecs, multi_bspecs),
                 out_specs=(P(), P(), P(), P(), of_spec),
+                check_vma=False,
+            )
+        )
+
+    # ---- device-resident cached datasets (Config.device_cache) ----
+    def build_cached_steps(self) -> None:
+        """Jitted steps over a device-resident offline dataset: the dataset
+        (fields, feats, vals, y — one inert tail row, see
+        Trainer._ensure_device_cache) lives REPLICATED on every device; each
+        step receives only the [B] int32 permutation row, sharded over the
+        batch axes, and gathers its local batch slice on device before
+        running the ordinary sharded step body.  Semantics are identical to
+        feeding the same global batch through place_batch — the gather just
+        happens device-side (the TPU-native form of the reference's
+        in-memory offline task, src/task/ftrl_offline.cpp:21-42).
+
+        Replication bounds the dataset by per-device HBM next to the state
+        shard; datasets beyond that stream (the host feed path).  One
+        dispatch per step, donated state — the scan-grouped form re-hits
+        the loop-carried-aliasing dead end (train.py::_gather_train_one_impl).
+        """
+        if hasattr(self, "gather_train_one"):
+            return
+        from ftrl_ffm_tpu.models.base import take_cached
+
+        ds_specs = (P(), P(), P(), P())
+        idx_spec = P(self._batch_axes)
+
+        def tr(state, ds, ix, n_real):
+            return self._train_step(state, take_cached(ds, ix, n_real))
+
+        def ev(state, ds, ix, n_real):
+            return self._eval_step(state, take_cached(ds, ix, n_real))
+
+        self.gather_train_one = jax.jit(
+            shard_map(
+                tr,
+                mesh=self.mesh,
+                in_specs=(self._sspecs, ds_specs, idx_spec, P()),
+                out_specs=self._train_out_specs,
+                check_vma=False,
+            ),
+            donate_argnums=0,
+        )
+        self.gather_eval_one = jax.jit(
+            shard_map(
+                ev,
+                mesh=self.mesh,
+                in_specs=(self._sspecs, ds_specs, idx_spec, P()),
+                out_specs=self._eval_out_specs,
                 check_vma=False,
             )
         )

@@ -29,7 +29,7 @@ from ftrl_ffm_tpu.metrics import (
     kahan_add,
 )
 from ftrl_ffm_tpu.models import Batch, make_model
-from ftrl_ffm_tpu.models.base import ModelState
+from ftrl_ffm_tpu.models.base import ModelState, take_cached
 
 _cache_enabled = False
 
@@ -282,6 +282,26 @@ class Trainer:
                     else {}
                 ),
             )
+            self._gather_train_one = jax.jit(
+                self._gather_train_one_impl,
+                donate_argnums=0,
+                **(
+                    {
+                        "in_shardings": (fmt, auto, auto, auto),
+                        "out_shardings": (fmt, auto, auto),
+                    }
+                    if fmt is not None
+                    else {}
+                ),
+            )
+            self._gather_eval_one = jax.jit(
+                self._gather_eval_one_impl,
+                **(
+                    {"in_shardings": (fmt, auto, auto, auto)}
+                    if fmt is not None
+                    else {}
+                ),
+            )
             self._fmt, self._fmt_auto = fmt, auto
         self._spc = max(1, cfg.steps_per_call)
         # delta-encoding hysteresis: one batch that can't delta-encode
@@ -359,6 +379,10 @@ class Trainer:
             self._gather_train_impl, donate_argnums=0
         )
         self._gather_eval_multi = jax.jit(self._gather_eval_impl)
+        self._gather_train_one = jax.jit(
+            self._gather_train_one_impl, donate_argnums=0
+        )
+        self._gather_eval_one = jax.jit(self._gather_eval_one_impl)
         if hasattr(self, "_eval_plain_jit"):
             del self._eval_plain_jit
 
@@ -398,42 +422,9 @@ class Trainer:
     # appended inert row (feat id = n_feats, value 0) and get sample_w 0,
     # so gathered batches equal the streamed batch_iterator's exactly
     # (remaining diff: ulp-level jit-boundary fusion, like steps_per_call).
-    def _take_cached(self, ds, ix, n_real):
-        """Gather one batch from the device-resident dataset.
-
-        fields/vals may be stored as dataset-level zero-size markers (see
-        _ensure_device_cache) and are then re-emitted in the streamed
-        feeder's marker shapes, so widen_batch and the kernels keep the
-        exact canonical-content specializations ([0, F] fields = iota,
-        [B, 0] vals = ones) that the per-batch _compact path gets — losing
-        them costs ~40% step time on canonical CTR data (measured: the
-        noncanon bench row)."""
-        fields, feats, vals, y = ds
-        b = ix.shape[0]
-        if fields.shape[0] == 0 and fields.shape[-1] == 0:
-            fields_b = jnp.zeros((b, 0), jnp.int32)  # LR/FM: fields unread
-        elif fields.shape[0] == 0:
-            fields_b = fields  # [0, F] iota marker, pass through
-        else:
-            fields_b = jnp.take(fields, ix, axis=0)
-        if vals.shape[0] == 0:
-            # all-ones marker: widen_batch reconstructs ones for every row,
-            # including pad-index rows (sample_w 0 + the feat-id drop
-            # sentinel keep those inert regardless of their values)
-            vals_b = jnp.zeros((b, 0), jnp.float32)
-        else:
-            vals_b = jnp.take(vals, ix, axis=0)
-        return Batch(
-            fields=fields_b,
-            feats=jnp.take(feats, ix, axis=0),
-            vals=vals_b,
-            y=jnp.take(y, ix, axis=0),
-            sample_w=(ix < n_real).astype(jnp.float32),
-        )
-
     def _gather_train_impl(self, state: ModelState, ds, idx, n_real):
         def body(st, ix):
-            out = self.model.train_step(st, self._take_cached(ds, ix, n_real))
+            out = self.model.train_step(st, take_cached(ds, ix, n_real))
             return out.state, (out.loss_sum, out.count)
 
         state, (ls, ct) = jax.lax.scan(body, state, idx)
@@ -441,10 +432,29 @@ class Trainer:
         # exactly like the streamed path (train_epoch's pass accounting)
         return state, ls, ct, None
 
+    def _gather_train_one_impl(self, state: ModelState, ds, ix, n_real):
+        """Single cached train step ([B] indices, no scan).
+
+        The default dispatch shape: carrying the state through a lax.scan
+        breaks XLA's in-place aliasing of the scatter/closed-form buffers
+        (loop-carried tables ping-pong — the same measured dead end as the
+        streamed multi-step dispatch, README "Measured dead ends"), costing
+        ~27 ms/step at B=16384 on v5e.  One donated dispatch per step keeps
+        the streamed path's update aliasing; the host-side cost is only a
+        [B] int32 index upload."""
+        out = self.model.train_step(state, take_cached(ds, ix, n_real))
+        return out.state, out.loss_sum, out.count
+
+    def _gather_eval_one_impl(self, state: ModelState, ds, ix, n_real):
+        b = take_cached(ds, ix, n_real)
+        ls, ct, logits = self.model.eval_step(state, b)
+        pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
+        return ls, ct, pos, neg
+
     def _gather_eval_impl(self, state: ModelState, ds, idx, n_real):
         def body(carry, ix):
             ls0, ct0, pos0, neg0 = carry
-            b = self._take_cached(ds, ix, n_real)
+            b = take_cached(ds, ix, n_real)
             ls, ct, logits = self.model.eval_step(state, b)
             pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
             return (ls0 + ls, ct0 + ct, pos0 + pos, neg0 + neg), None
@@ -480,6 +490,16 @@ class Trainer:
             logits, batch.y, batch.sample_w, AUC_BINS
         )
         return loss_sum, count, pos, neg, overflow
+
+    def _gather_eval_auc_sharded_impl(self, state: ModelState, ds, ix, n_real):
+        """Cached-dataset twin of _eval_with_auc_sharded: the sharded eval
+        gathers its batch on device; y/sample_w for the AUC buckets are
+        re-derived from the (replicated) dataset outside the shard_map."""
+        ls, ct, logits, of = self._sharded.gather_eval_one(state, ds, ix, n_real)
+        y = jnp.take(ds[3], ix, axis=0)
+        sw = (ix < n_real).astype(jnp.float32)
+        pos, neg = StreamingAUC.bucket_counts(logits, y, sw, AUC_BINS)
+        return ls, ct, pos, neg, of
 
     def _eval_with_auc(self, state: ModelState, batch: Batch):
         loss_sum, count, logits = self.model.eval_step(state, batch)
@@ -1052,16 +1072,23 @@ class Trainer:
         """Device-resident offline dataset for `role`, or None when the mode
         is not engaged (Config.device_cache).
 
-        Engaged: offline, single process, unsharded, and (auto) the arrays
-        fit per-device HBM next to the state + update working set.  The
+        Engaged: offline, single process, and (auto) the arrays fit
+        per-device HBM next to the state + update working set.  The
         uploaded dataset carries one extra inert row (field 0, feat id =
         n_feats, value 0) that padded permutation indices point at, so a
-        gathered batch equals the streamed batch_iterator's padded batches."""
+        gathered batch equals the streamed batch_iterator's padded batches.
+        On a sharded mesh the dataset is replicated per device and each
+        device gathers its slice of the batch's index row locally
+        (ShardedStep.build_cached_steps); multi-process runs stream (each
+        process owns a byte-range slice — a per-host cache would change the
+        shuffle semantics)."""
         cfg = self.cfg
         if cfg.online or cfg.device_cache == "off":
             return None
-        if self._sharded is not None or self._proc_n > 1:
+        if self._proc_n > 1:
             return None
+        if self._sharded is not None and self._spc > 1:
+            return None  # scan grouping: the streamed sharded multi covers it
         if role == "eval" and not cfg.eval_data:
             return None
         if role not in self._dev_cache:
@@ -1096,6 +1123,18 @@ class Trainer:
                     vals_dev,
                     jnp.asarray(np.concatenate([ds.y, np.zeros(1, np.float32)])),
                 )
+                if self._sharded is not None:
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    ds_dev = jax.device_put(
+                        ds_dev, NamedSharding(self._sharded.mesh, P())
+                    )
+                    self._sharded.build_cached_steps()
+                    self._gather_train_one = self._sharded.gather_train_one
+                    self._gather_eval_one = jax.jit(
+                        self._gather_eval_auc_sharded_impl
+                    )
                 self._dev_cache[role] = (ds_dev, ds.n)
         return self._dev_cache[role]
 
@@ -1120,17 +1159,22 @@ class Trainer:
         est = estimate_hbm_bytes(self.cfg)
         return est["total"] + ds_bytes <= 0.8 * limit
 
-    def _cached_idx_chunks(self, n: int, order: np.ndarray):
-        """Yield ([chunk, B] int32 index blocks, real-step count) over a
-        permutation, padded with pointers at the inert row so every dispatch
-        compiles once."""
+    def _cached_idx(self, n: int, order: np.ndarray) -> np.ndarray:
+        """[n_steps, B] int32 index rows over a permutation, the tail padded
+        with pointers at the inert row so every dispatch compiles once."""
         bs = self._local_bs
         n_steps = -(-n // bs)
         pad = n_steps * bs - n
         if pad:
             order = np.concatenate([order, np.full(pad, n, order.dtype)])
-        idx = order.reshape(n_steps, bs).astype(np.int32)
-        chunk = self._spc if self._spc > 1 else min(n_steps, 8)
+        return order.reshape(n_steps, bs).astype(np.int32)
+
+    def _cached_idx_chunks(self, n: int, order: np.ndarray):
+        """Yield ([spc, B] int32 index blocks, real-step count) over a
+        permutation — the scan-grouped dispatch for steps_per_call > 1."""
+        idx = self._cached_idx(n, order)
+        n_steps, bs = idx.shape
+        chunk = self._spc
         for s0 in range(0, n_steps, chunk):
             part = idx[s0 : s0 + chunk]
             real = part.shape[0]
@@ -1149,22 +1193,48 @@ class Trainer:
             epoch_rng.shuffle(order)
         n_arr = jnp.asarray(n, jnp.int32)
         sums = []
+        overflows = []
         done = 0
-        for part, real in self._cached_idx_chunks(n, order):
-            self.state, ls, ct, _ = self._call_step(
-                "_gather_train_multi", self.state, ds_dev, part, n_arr
-            )
-            sums.append((ls, ct))  # [chunk]-vectors of per-step sums
-            prev, done = done, done + real
-            maybe_save(self._steps_done + done, self._steps_done + prev)
+        if self._spc > 1:
+            for part, real in self._cached_idx_chunks(n, order):
+                self.state, ls, ct, _ = self._call_step(
+                    "_gather_train_multi", self.state, ds_dev, part, n_arr
+                )
+                sums.append((ls, ct))  # [spc]-vectors of per-step sums
+                prev, done = done, done + real
+                maybe_save(self._steps_done + done, self._steps_done + prev)
+        elif self._sharded is not None:
+            for row in self._cached_idx(n, order):
+                out = self._call_step(
+                    "_gather_train_one", self.state, ds_dev, row, n_arr
+                )
+                self.state = out.state
+                sums.append((out.loss_sum, out.count))
+                if out.route_overflow is not None:
+                    overflows.append(out.route_overflow)
+                prev, done = done, done + 1
+                maybe_save(self._steps_done + done, self._steps_done + prev)
+        else:
+            # one donated dispatch per step — see _gather_train_one_impl for
+            # why the scan-grouped form is not the default
+            for row in self._cached_idx(n, order):
+                self.state, ls, ct = self._call_step(
+                    "_gather_train_one", self.state, ds_dev, row, n_arr
+                )
+                sums.append((ls, ct))  # scalar per-step sums
+                prev, done = done, done + 1
+                maybe_save(self._steps_done + done, self._steps_done + prev)
         self._steps_done += done
-        self._epoch_route_overflow = 0
+        of_dev = jnp.sum(jnp.stack(overflows)) if overflows else None
+        self._epoch_route_overflow = (
+            int(jax.device_get(of_dev)) if of_dev is not None else 0
+        )
         if not sums:
             return float("nan")
         ls_v, ct_v = jax.device_get(
             (
-                jnp.concatenate([s for s, _ in sums]),
-                jnp.concatenate([c for _, c in sums]),
+                jnp.concatenate([jnp.atleast_1d(s) for s, _ in sums]),
+                jnp.concatenate([jnp.atleast_1d(c) for _, c in sums]),
             )
         )
         loss_sum = np.sum(np.asarray(ls_v), dtype=np.float64)
@@ -1593,12 +1663,20 @@ class Trainer:
         if cache is not None:
             ds_dev, n = cache
             n_arr = jnp.asarray(n, jnp.int32)
-            for part, _ in self._cached_idx_chunks(n, np.arange(n)):
-                add(
-                    self._call_step(
-                        "_gather_eval_multi", self.state, ds_dev, part, n_arr
+            if self._spc > 1:
+                for part, _ in self._cached_idx_chunks(n, np.arange(n)):
+                    add(
+                        self._call_step(
+                            "_gather_eval_multi", self.state, ds_dev, part, n_arr
+                        )
                     )
-                )
+            else:
+                for row in self._cached_idx(n, np.arange(n)):
+                    add(
+                        self._call_step(
+                            "_gather_eval_one", self.state, ds_dev, row, n_arr
+                        )
+                    )
         elif self._spc > 1:
             groups = self._grouped(self._eval_batches(), self._spc)
             for group, _ in self._device_feed_multi(groups, role="eval"):

@@ -97,14 +97,58 @@ def test_cached_engages_automatically_offline(tmp_path):
     assert tr._dev_cache.get("train") is not None
 
 
-def test_not_engaged_online_or_sharded(tmp_path):
+def test_not_engaged_online(tmp_path):
     train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
     t_onl = Trainer(_cfg(train, online=True))
     t_onl.train_epoch()
     assert "train" not in t_onl._dev_cache
-    t_mesh = Trainer(_cfg(train, mesh_model=2, batch_size=16))
-    t_mesh.train_epoch()
-    assert "train" not in t_mesh._dev_cache
+
+
+@pytest.mark.parametrize(
+    "mesh_kw",
+    [
+        dict(mesh_model=2),                      # replicate lookups
+        dict(mesh_model=4, mesh_data=2),         # hybrid mesh
+        dict(mesh_model=8, lookup_mode="route"),  # production scaling shape
+    ],
+)
+def test_sharded_cached_matches_sharded_streamed(tmp_path, mesh_kw):
+    """On a mesh, the cached dataset is replicated per device and each
+    device gathers its slice of the batch's index row locally — results
+    must match the host-fed sharded path (same rng, same global batches)."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    evalp = write_fixture(tmp_path / "e.ffm", "libffm", seed=1)
+    _reverse_fields(train)
+    _reverse_fields(evalp)
+    kw = dict(batch_size=16, **mesh_kw)
+    t_on = Trainer(_cfg(train, evalp, device_cache="on", **kw))
+    t_off = Trainer(_cfg(train, evalp, device_cache="off", **kw))
+    h_on, h_off = t_on.train(), t_off.train()
+    assert t_on._dev_cache.get("train") is not None
+    assert "train" not in t_off._dev_cache
+    np.testing.assert_allclose(h_on["train_loss"], h_off["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_on["eval_loss"], h_off["eval_loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_on["eval_auc"], h_off["eval_auc"], rtol=1e-6)
+    assert h_on["route_overflow"] == h_off["route_overflow"]
+    _state_equal(t_on.logical_state, t_off.logical_state)
+    assert int(t_on.state.step) == int(t_off.state.step)
+
+
+def test_sharded_cached_matches_unsharded_streamed(tmp_path):
+    """Cross-tier: (1,8) route mesh with the cached dataset equals the
+    plain unsharded streamed run — same losses and logical state."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    _reverse_fields(train)
+    t_mesh = Trainer(
+        _cfg(train, device_cache="on", mesh_model=8, lookup_mode="route",
+             batch_size=16)
+    )
+    t_flat = Trainer(_cfg(train, device_cache="off", batch_size=16))
+    h_mesh, h_flat = t_mesh.train(), t_flat.train()
+    np.testing.assert_allclose(
+        h_mesh["train_loss"], h_flat["train_loss"], rtol=1e-6
+    )
+    _state_equal(t_mesh.logical_state, t_flat.state)
 
 
 def test_cached_save_every_fires(tmp_path):
