@@ -25,7 +25,8 @@ rows (default: ffm fm lr):
              off the canonical path show here.  (Fractional sample weights
              cannot occur on file-driven runs — the libsvm/libffm formats
              carry no weight column, so sample_w is always {0, 1}.)
-Env: ROWS_SAMPLES (400000), ACC_DTYPE, TABLE_DTYPE forwarded to Config.
+Env: ROWS_SAMPLES (400000), ACC_DTYPE, TABLE_DTYPE, DEVICE_CACHE forwarded
+to Config.
 """
 
 from __future__ import annotations
@@ -158,6 +159,9 @@ def run_row(row: str) -> dict:
         n_threads=3,
         acc_dtype=os.environ.get("ACC_DTYPE", "float32"),
         table_dtype=os.environ.get("TABLE_DTYPE", "float32"),
+        # offline row: auto engages the device-resident dataset when it fits
+        # next to the state; DEVICE_CACHE=off measures the streamed feed
+        device_cache=os.environ.get("DEVICE_CACHE", "auto"),
     )
     if kw["model_type"] == "FFM":
         kw["file_type"] = "libffm"
