@@ -229,6 +229,10 @@ class ShardedStep:
         from ftrl_ffm_tpu.models.base import take_cached
 
         ds_specs = (P(), P(), P(), P())
+        # each step's [B] permutation row arrives sharded over the batch
+        # axes; the per-step upload hides behind the previous step's compute
+        # (a device-resident [S, B] table + scalar index measured ~5% slower
+        # — the dynamic row slice serializes into the step's critical path)
         idx_spec = P(self._batch_axes)
 
         def tr(state, ds, ix, n_real):

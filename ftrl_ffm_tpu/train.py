@@ -433,15 +433,22 @@ class Trainer:
         return state, ls, ct, None
 
     def _gather_train_one_impl(self, state: ModelState, ds, ix, n_real):
-        """Single cached train step ([B] indices, no scan).
+        """Single cached train step ([B] permutation indices, no scan).
 
-        The default dispatch shape: carrying the state through a lax.scan
-        breaks XLA's in-place aliasing of the scatter/closed-form buffers
-        (loop-carried tables ping-pong — the same measured dead end as the
-        streamed multi-step dispatch, README "Measured dead ends"), costing
-        ~27 ms/step at B=16384 on v5e.  One donated dispatch per step keeps
-        the streamed path's update aliasing; the host-side cost is only a
-        [B] int32 index upload."""
+        The default dispatch shape, both measured on v5e (B=16384):
+        * NOT a lax.scan over steps — carrying the state through a scan
+          breaks XLA's in-place aliasing of the scatter/closed-form buffers
+          (loop-carried tables ping-pong — the same dead end as the
+          streamed multi-step dispatch, README "Measured dead ends"),
+          costing ~27 ms/step.
+        * NOT a device-resident [S, B] permutation table with a scalar
+          step index — the dynamic row slice serializes INTO the step's
+          critical path, while the [B] row upload overlaps the previous
+          step's compute (async dispatch): row-upload won every
+          interleaved pair, 256.5-257.2k vs 244.5-245.6k ex/s.
+        One donated dispatch per step keeps the streamed path's update
+        aliasing; the host-side cost is a [B] int32 upload that hides
+        behind the device step."""
         out = self.model.train_step(state, take_cached(ds, ix, n_real))
         return out.state, out.loss_sum, out.count
 
@@ -1215,8 +1222,9 @@ class Trainer:
                 prev, done = done, done + 1
                 maybe_save(self._steps_done + done, self._steps_done + prev)
         else:
-            # one donated dispatch per step — see _gather_train_one_impl for
-            # why the scan-grouped form is not the default
+            # one donated dispatch per step, [B] index row uploaded per
+            # dispatch — see _gather_train_one_impl for why neither the
+            # scan-grouped form nor a device-resident index table wins
             for row in self._cached_idx(n, order):
                 self.state, ls, ct = self._call_step(
                     "_gather_train_one", self.state, ds_dev, row, n_arr
@@ -1231,10 +1239,13 @@ class Trainer:
         )
         if not sums:
             return float("nan")
+        # stack scalars / concat vectors ONCE at epoch end (a per-step
+        # atleast_1d would be an extra tiny dispatch per step on the relay)
+        cat = jnp.concatenate if sums[0][0].ndim else jnp.stack
         ls_v, ct_v = jax.device_get(
             (
-                jnp.concatenate([jnp.atleast_1d(s) for s, _ in sums]),
-                jnp.concatenate([jnp.atleast_1d(c) for _, c in sums]),
+                cat([s for s, _ in sums]),
+                cat([c for _, c in sums]),
             )
         )
         loss_sum = np.sum(np.asarray(ls_v), dtype=np.float64)
