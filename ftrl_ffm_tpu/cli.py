@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="offline mode: keep the whole dataset resident in "
                         "device HBM and run epochs fully on device "
                         "(auto = when it fits next to the model state)")
+    p.add_argument("--device_cache_layout", default="auto",
+                   choices=("auto", "replicate", "shard"),
+                   help="cached-dataset layout on a sharded mesh: replicate "
+                        "per device (global shuffle, bit-matching batches) "
+                        "or shard 1/D per device (per-slice shuffle, the "
+                        "multi-host streamed semantics, 1/D the HBM)")
     p.add_argument("--compress_level", type=int, default=3, help="zstd level")
     p.add_argument("--save_every", type=int, default=0,
                    help="mid-training checkpoint every N steps (0 = end only)")

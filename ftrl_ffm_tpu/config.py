@@ -127,6 +127,18 @@ class Config:
     # fits the per-device HBM budget next to the model state and update
     # working set; "on" forces it (OOM risk accepted); "off" disables.
     device_cache: str = "auto"       # "auto" | "on" | "off"
+    # How the cached dataset is laid out across a sharded mesh:
+    #   "replicate" — every device holds the full dataset; batches keep the
+    #     streamed path's GLOBAL shuffle semantics (bit-matching batches).
+    #   "shard" — each device holds a contiguous 1/D slice (D = batch-axis
+    #     device count) next to one inert pad row, and shuffles ITS slice
+    #     per epoch — the cached twin of the multi-host streamed semantics
+    #     (each process owns a byte-range slice; train.py::_byte_range),
+    #     with 1/D the HBM footprint.  Steps per epoch become
+    #     ceil(max_slice/b_local), like multi-host lockstep.
+    #   "auto" — replicate when the full dataset fits next to the state,
+    #     else shard when a slice fits, else stream.
+    device_cache_layout: str = "auto"  # "auto" | "replicate" | "shard"
     save_every: int = 0              # checkpoint every N steps (0 = only at end)
     compress_level: int = 3          # zstd level for checkpoints / model export
 
@@ -148,6 +160,10 @@ class Config:
             raise ValueError(f"invalid acc_dtype: {self.acc_dtype}")
         if self.device_cache not in ("auto", "on", "off"):
             raise ValueError(f"invalid device_cache: {self.device_cache}")
+        if self.device_cache_layout not in ("auto", "replicate", "shard"):
+            raise ValueError(
+                f"invalid device_cache_layout: {self.device_cache_layout}"
+            )
         if self.lookup_mode not in ("auto", "replicate", "route"):
             raise ValueError(f"invalid lookup_mode: {self.lookup_mode}")
         if self.route_overflow_policy not in ("warn", "error"):

@@ -208,58 +208,96 @@ class ShardedStep:
         )
 
     # ---- device-resident cached datasets (Config.device_cache) ----
-    def build_cached_steps(self) -> None:
-        """Jitted steps over a device-resident offline dataset: the dataset
-        (fields, feats, vals, y — one inert tail row, see
-        Trainer._ensure_device_cache) lives REPLICATED on every device; each
-        step receives only the [B] int32 permutation row, sharded over the
-        batch axes, and gathers its local batch slice on device before
-        running the ordinary sharded step body.  Semantics are identical to
-        feeding the same global batch through place_batch — the gather just
-        happens device-side (the TPU-native form of the reference's
-        in-memory offline task, src/task/ftrl_offline.cpp:21-42).
+    def build_cached_steps(self, layout: str = "replicate") -> None:
+        """Jitted steps over a device-resident offline dataset (fields,
+        feats, vals, y — inert pad rows, see Trainer._ensure_device_cache);
+        each step receives only the [B] int32 permutation row, sharded over
+        the batch axes, and gathers its local batch slice on device before
+        running the ordinary sharded step body (the TPU-native form of the
+        reference's in-memory offline task, src/task/ftrl_offline.cpp:21-42).
 
-        Replication bounds the dataset by per-device HBM next to the state
-        shard; datasets beyond that stream (the host feed path).  One
-        dispatch per step, donated state — the scan-grouped form re-hits
-        the loop-carried-aliasing dead end (train.py::_gather_train_one_impl).
-        """
-        if hasattr(self, "gather_train_one"):
-            return
+        Two layouts (Config.device_cache_layout):
+        * "replicate" — every device holds the full dataset (+ one inert
+          tail row); indices are GLOBAL, so batches bit-match the streamed
+          path's global shuffle.  n_real is a replicated scalar.
+        * "shard" — each device holds a contiguous 1/D slice padded to
+          rows_loc (= max slice + 1 inert row); indices are LOCAL to the
+          device's slice and n_real arrives as a [D] array sharded over the
+          batch axes (each device reads its own real count).  1/D the HBM,
+          per-slice shuffle — the cached twin of the multi-host streamed
+          semantics (each process owns a byte-range slice).
+
+        One dispatch per step, donated state; per-step [B] row upload —
+        the scan-grouped and device-resident-index-table forms both
+        measured slower (train.py::_gather_train_one_impl)."""
         from ftrl_ffm_tpu.models.base import take_cached
 
-        ds_specs = (P(), P(), P(), P())
-        # each step's [B] permutation row arrives sharded over the batch
-        # axes; the per-step upload hides behind the previous step's compute
-        # (a device-resident [S, B] table + scalar index measured ~5% slower
-        # — the dynamic row slice serializes into the step's critical path)
+        rep = layout == "replicate"
+        if hasattr(self, "gather_train_one" if rep else "gather_train_one_shard"):
+            return
+        dim0 = P() if rep else P(self._batch_axes)
+        ds_specs = (dim0, dim0, dim0, dim0)
         idx_spec = P(self._batch_axes)
+        n_spec = P() if rep else P(self._batch_axes)
 
         def tr(state, ds, ix, n_real):
             return self._train_step(state, take_cached(ds, ix, n_real))
 
-        def ev(state, ds, ix, n_real):
-            return self._eval_step(state, take_cached(ds, ix, n_real))
-
-        self.gather_train_one = jax.jit(
+        train_jit = jax.jit(
             shard_map(
                 tr,
                 mesh=self.mesh,
-                in_specs=(self._sspecs, ds_specs, idx_spec, P()),
+                in_specs=(self._sspecs, ds_specs, idx_spec, n_spec),
                 out_specs=self._train_out_specs,
                 check_vma=False,
             ),
             donate_argnums=0,
         )
-        self.gather_eval_one = jax.jit(
-            shard_map(
-                ev,
-                mesh=self.mesh,
-                in_specs=(self._sspecs, ds_specs, idx_spec, P()),
-                out_specs=self._eval_out_specs,
-                check_vma=False,
+        if rep:
+            self.gather_train_one = train_jit
+
+            def ev(state, ds, ix, n_real):
+                return self._eval_step(state, take_cached(ds, ix, n_real))
+
+            self.gather_eval_one = jax.jit(
+                shard_map(
+                    ev,
+                    mesh=self.mesh,
+                    in_specs=(self._sspecs, ds_specs, idx_spec, n_spec),
+                    out_specs=self._eval_out_specs,
+                    check_vma=False,
+                )
             )
-        )
+        else:
+            self.gather_train_one_shard = train_jit
+
+            # shard-local indices can't be mapped to global y/sample_w
+            # outside the mesh, so the AUC buckets reduce inside the step
+            from ftrl_ffm_tpu.metrics import AUC_BINS, StreamingAUC
+
+            def ev_shard(state, ds, ix, n_real):
+                b = widen_batch(take_cached(ds, ix, n_real))
+                logits, overflow = self._eval_logits(state, b)
+                per_loss = binary_logloss(logits, b.y) * b.sample_w
+                loss_sum = jax.lax.psum(jnp.sum(per_loss), self._batch_axes)
+                count = jax.lax.psum(jnp.sum(b.sample_w), self._batch_axes)
+                pos, neg = StreamingAUC.bucket_counts(
+                    logits, b.y, b.sample_w, AUC_BINS
+                )
+                pos = jax.lax.psum(pos, self._batch_axes)
+                neg = jax.lax.psum(neg, self._batch_axes)
+                return loss_sum, count, pos, neg, overflow
+
+            of_spec = self._eval_out_specs[-1]
+            self.gather_eval_auc_shard = jax.jit(
+                shard_map(
+                    ev_shard,
+                    mesh=self.mesh,
+                    in_specs=(self._sspecs, ds_specs, idx_spec, n_spec),
+                    out_specs=(P(), P(), P(), P(), of_spec),
+                    check_vma=False,
+                )
+            )
 
     # ---- physical ids ----
     def _phys_ids(self, feats: jax.Array) -> jax.Array:

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import sys
 import time
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,24 @@ from ftrl_ffm_tpu.metrics import (
 )
 from ftrl_ffm_tpu.models import Batch, make_model
 from ftrl_ffm_tpu.models.base import ModelState, take_cached
+
+
+class _DevCache(NamedTuple):
+    """A device-resident offline dataset (Config.device_cache).
+
+    layout: "replicate" (full copy per device, global indices) or "shard"
+    (contiguous 1/D slice per device, local indices).  n_loc/rows_loc/
+    n_real_dev are shard-layout only: per-device real counts, padded rows
+    per device (max slice + 1 inert), and the [D] real-count array sharded
+    over the batch axes."""
+
+    layout: str
+    ds: tuple
+    n: int
+    n_loc: Optional[list]
+    rows_loc: Optional[int]
+    n_real_dev: Optional[object]
+
 
 _cache_enabled = False
 
@@ -1075,20 +1093,55 @@ class Trainer:
             )
         return getattr(self, attr)
 
+    def _cache_batch_devs(self) -> int:
+        """Device count along the batch axes (1 unsharded)."""
+        if self._sharded is None:
+            return 1
+        m = self._sharded.mesh.shape
+        out = 1
+        for a in self._sharded._batch_axes:
+            out *= m[a]
+        return out
+
+    def _resolve_cache_layout(self, n: int) -> Optional[str]:
+        """Which cached-dataset layout engages for an n-sample dataset, or
+        None to stream (Config.device_cache / device_cache_layout)."""
+        cfg = self.cfg
+        d = self._cache_batch_devs()
+        want = cfg.device_cache_layout
+        forced = cfg.device_cache == "on"
+        if self._sharded is None or d == 1:
+            # shard layout degenerates to replicate on one batch device
+            return (
+                "replicate"
+                if forced or self._device_cache_fits(n)
+                else None
+            )
+        per_dev = -(-n // d)
+        if want == "replicate" or (want == "auto" and
+                                   (forced or self._device_cache_fits(n))):
+            if forced or self._device_cache_fits(n):
+                return "replicate"
+            return None
+        if forced or self._device_cache_fits(per_dev):
+            return "shard"
+        return None
+
     def _ensure_device_cache(self, role: str):
         """Device-resident offline dataset for `role`, or None when the mode
         is not engaged (Config.device_cache).
 
         Engaged: offline, single process, and (auto) the arrays fit
         per-device HBM next to the state + update working set.  The
-        uploaded dataset carries one extra inert row (field 0, feat id =
+        uploaded dataset carries inert pad rows (field 0, feat id =
         n_feats, value 0) that padded permutation indices point at, so a
         gathered batch equals the streamed batch_iterator's padded batches.
-        On a sharded mesh the dataset is replicated per device and each
-        device gathers its slice of the batch's index row locally
-        (ShardedStep.build_cached_steps); multi-process runs stream (each
-        process owns a byte-range slice — a per-host cache would change the
-        shuffle semantics)."""
+        On a sharded mesh the dataset is replicated per device (global
+        shuffle, streamed-identical batches) or sharded 1/D per device
+        (per-slice shuffle, the multi-host streamed semantics) — see
+        Config.device_cache_layout and ShardedStep.build_cached_steps.
+        Multi-process runs stream (each process already owns a byte-range
+        slice of the FILE; a second cache layer would duplicate it)."""
         cfg = self.cfg
         if cfg.online or cfg.device_cache == "off":
             return None
@@ -1101,49 +1154,88 @@ class Trainer:
         if role not in self._dev_cache:
             ds = self._ensure_ds(role)
             self._dev_cache[role] = None
-            if ds.n > 0 and self._device_cache_fits(ds.n):
-                f = cfg.max_nnz
-                pad_fields = np.zeros((1, f), np.int32)
-                pad_feats = np.full((1, f), cfg.n_feats, np.int32)
-                # dataset-level canonical-content markers (the cached twin
-                # of _compact's per-batch zero-width markers): store only a
-                # zero-size sentinel when fields/vals carry no information
-                if cfg.model_type in ("LR", "FM"):
-                    fields_dev = jnp.zeros((0, 0), jnp.int32)  # never read
-                elif (ds.fields == np.arange(f, dtype=np.int32)).all():
-                    fields_dev = jnp.zeros((0, f), jnp.int32)  # iota rows
-                else:
-                    fields_dev = jnp.asarray(
-                        np.concatenate([ds.fields, pad_fields])
-                    )
-                if (ds.vals == 1.0).all():
-                    vals_dev = jnp.zeros((0, f), jnp.float32)  # all ones
-                else:
-                    vals_dev = jnp.asarray(
-                        np.concatenate(
-                            [ds.vals, np.zeros((1, f), np.float32)]
-                        )
-                    )
-                ds_dev = (
-                    fields_dev,
-                    jnp.asarray(np.concatenate([ds.feats, pad_feats])),
-                    vals_dev,
-                    jnp.asarray(np.concatenate([ds.y, np.zeros(1, np.float32)])),
-                )
-                if self._sharded is not None:
-                    from jax.sharding import NamedSharding
-                    from jax.sharding import PartitionSpec as P
-
-                    ds_dev = jax.device_put(
-                        ds_dev, NamedSharding(self._sharded.mesh, P())
-                    )
-                    self._sharded.build_cached_steps()
-                    self._gather_train_one = self._sharded.gather_train_one
-                    self._gather_eval_one = jax.jit(
-                        self._gather_eval_auc_sharded_impl
-                    )
-                self._dev_cache[role] = (ds_dev, ds.n)
+            layout = self._resolve_cache_layout(ds.n) if ds.n > 0 else None
+            if layout is not None:
+                self._dev_cache[role] = self._build_device_cache(ds, layout)
         return self._dev_cache[role]
+
+    def _build_device_cache(self, ds, layout: str):
+        cfg = self.cfg
+        f = cfg.max_nnz
+        d = self._cache_batch_devs() if layout == "shard" else 1
+        # dataset-level canonical-content markers (the cached twin of
+        # _compact's per-batch zero-width markers): store only a zero-size
+        # sentinel when fields/vals carry no information
+        lr_fm = cfg.model_type in ("LR", "FM")
+        iota_fields = (
+            not lr_fm
+            and (ds.fields == np.arange(f, dtype=np.int32)).all()
+        )
+        ones_vals = (ds.vals == 1.0).all()
+
+        if layout == "shard":
+            base, rem = divmod(ds.n, d)
+            n_loc = [base + (1 if i < rem else 0) for i in range(d)]
+            offs = np.concatenate([[0], np.cumsum(n_loc)])
+            rows_loc = max(n_loc) + 1  # + inert pad row per device
+
+            def blocks(arr, pad_row):
+                """[n, ...] -> [d * rows_loc, ...]: contiguous per-device
+                slices, each padded with inert rows to rows_loc."""
+                parts = []
+                for i in range(d):
+                    parts.append(arr[offs[i]: offs[i + 1]])
+                    pad = rows_loc - n_loc[i]
+                    parts.append(np.repeat(pad_row, pad, axis=0))
+                return np.concatenate(parts)
+        else:
+            n_loc, rows_loc = None, None
+
+            def blocks(arr, pad_row):
+                return np.concatenate([arr, pad_row])
+
+        pad_fields = np.zeros((1, f), np.int32)
+        pad_feats = np.full((1, f), cfg.n_feats, np.int32)
+        if lr_fm:
+            fields_h = np.zeros((0, 0), np.int32)  # never read
+        elif iota_fields:
+            fields_h = np.zeros((0, f), np.int32)  # iota marker
+        else:
+            fields_h = blocks(ds.fields, pad_fields)
+        if ones_vals:
+            vals_h = np.zeros((0, f), np.float32)  # all-ones marker
+        else:
+            vals_h = blocks(ds.vals, np.zeros((1, f), np.float32))
+        ds_host = (
+            fields_h,
+            blocks(ds.feats, pad_feats),
+            vals_h,
+            blocks(ds.y, np.zeros(1, np.float32)),
+        )
+
+        n_real_dev = None
+        if self._sharded is None:
+            ds_dev = tuple(jnp.asarray(a) for a in ds_host)
+        else:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self._sharded.mesh
+            axes = self._sharded._batch_axes
+            spec = P() if layout == "replicate" else P(axes)
+            ds_dev = jax.device_put(ds_host, NamedSharding(mesh, spec))
+            self._sharded.build_cached_steps(layout)
+            if layout == "shard":
+                n_real_dev = jax.device_put(
+                    np.asarray(n_loc, np.int32),
+                    NamedSharding(mesh, P(axes)),
+                )
+            else:
+                self._gather_train_one = self._sharded.gather_train_one
+                self._gather_eval_one = jax.jit(
+                    self._gather_eval_auc_sharded_impl
+                )
+        return _DevCache(layout, ds_dev, ds.n, n_loc, rows_loc, n_real_dev)
 
     def _device_cache_fits(self, n: int) -> bool:
         if self.cfg.device_cache == "on":
@@ -1191,14 +1283,36 @@ class Trainer:
                 )
             yield part, real
 
-    def _train_epoch_cached(self, cache, epoch_rng, maybe_save) -> float:
-        ds_dev, n = cache
-        order = np.arange(n)
-        if self.cfg.shuffle:
-            # same rng call as batch_iterator's host-side shuffle, so the
-            # cached and streamed paths see identical permutations
-            epoch_rng.shuffle(order)
-        n_arr = jnp.asarray(n, jnp.int32)
+    def _cached_idx_shard(self, entry: _DevCache, epoch_rng, shuffle: bool):
+        """[S, B] int32 rows of device-LOCAL indices for the shard layout:
+        column block d holds device d's slice-local permutation, padded at
+        its inert row.  Steps per epoch = ceil(max_slice / b_device) — the
+        multi-host streamed lockstep count."""
+        d = len(entry.n_loc)
+        b_dev = self._local_bs // d
+        s = -(-max(entry.n_loc) // b_dev)
+        cols = []
+        for i in range(d):
+            perm = np.arange(entry.n_loc[i])
+            if shuffle:
+                epoch_rng.shuffle(perm)
+            pad = s * b_dev - entry.n_loc[i]
+            if pad:
+                perm = np.concatenate(
+                    [perm, np.full(pad, entry.rows_loc - 1, perm.dtype)]
+                )
+            cols.append(perm.reshape(s, b_dev))
+        return np.concatenate(cols, axis=1).astype(np.int32)
+
+    def _train_epoch_cached(self, cache: _DevCache, epoch_rng, maybe_save) -> float:
+        ds_dev, n = cache.ds, cache.n
+        if cache.layout == "replicate":
+            order = np.arange(n)
+            if self.cfg.shuffle:
+                # same rng call as batch_iterator's host-side shuffle, so the
+                # cached and streamed paths see identical permutations
+                epoch_rng.shuffle(order)
+            n_arr = jnp.asarray(n, jnp.int32)
         sums = []
         overflows = []
         done = 0
@@ -1211,10 +1325,15 @@ class Trainer:
                 prev, done = done, done + real
                 maybe_save(self._steps_done + done, self._steps_done + prev)
         elif self._sharded is not None:
-            for row in self._cached_idx(n, order):
-                out = self._call_step(
-                    "_gather_train_one", self.state, ds_dev, row, n_arr
-                )
+            if cache.layout == "shard":
+                rows = self._cached_idx_shard(cache, epoch_rng, self.cfg.shuffle)
+                n_arr = cache.n_real_dev
+                fn = self._sharded.gather_train_one_shard
+            else:
+                rows = self._cached_idx(n, order)
+                fn = self._sharded.gather_train_one
+            for row in rows:
+                out = fn(self.state, ds_dev, row, n_arr)
                 self.state = out.state
                 sums.append((out.loss_sum, out.count))
                 if out.route_overflow is not None:
@@ -1672,9 +1791,16 @@ class Trainer:
 
         cache = self._ensure_device_cache("eval")
         if cache is not None:
-            ds_dev, n = cache
-            n_arr = jnp.asarray(n, jnp.int32)
-            if self._spc > 1:
+            ds_dev, n = cache.ds, cache.n
+            if cache.layout == "shard":
+                for row in self._cached_idx_shard(cache, None, False):
+                    add(
+                        self._sharded.gather_eval_auc_shard(
+                            self.state, ds_dev, row, cache.n_real_dev
+                        )
+                    )
+            elif self._spc > 1:
+                n_arr = jnp.asarray(n, jnp.int32)
                 for part, _ in self._cached_idx_chunks(n, np.arange(n)):
                     add(
                         self._call_step(
@@ -1682,6 +1808,7 @@ class Trainer:
                         )
                     )
             else:
+                n_arr = jnp.asarray(n, jnp.int32)
                 for row in self._cached_idx(n, np.arange(n)):
                     add(
                         self._call_step(

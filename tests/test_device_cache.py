@@ -194,12 +194,108 @@ def test_cached_canonical_markers_match_streamed(tmp_path):
     t_on = Trainer(_cfg(path, device_cache="on"))
     t_off = Trainer(_cfg(path, device_cache="off"))
     h_on, h_off = t_on.train(), t_off.train()
-    ds_dev, n = t_on._dev_cache["train"]
-    assert n == 58
-    assert ds_dev[0].shape == (0, FIXTURE_FIELDS)  # iota fields marker
-    assert ds_dev[2].shape == (0, FIXTURE_FIELDS)  # all-ones vals marker
+    entry = t_on._dev_cache["train"]
+    assert entry.n == 58
+    assert entry.ds[0].shape == (0, FIXTURE_FIELDS)  # iota fields marker
+    assert entry.ds[2].shape == (0, FIXTURE_FIELDS)  # all-ones vals marker
     np.testing.assert_allclose(h_on["train_loss"], h_off["train_loss"], rtol=1e-6)
     _state_equal(t_on.state, t_off.state)
+
+
+class _OrderRng:
+    """Test stub: .shuffle() writes a fixed permutation, so the streamed /
+    replicate-cached global batch composition can be pinned exactly."""
+
+    def __init__(self, order):
+        self.order = np.asarray(order)
+
+    def shuffle(self, arr):
+        arr[:] = self.order
+
+
+@pytest.mark.parametrize("mesh_kw", [
+    dict(mesh_model=8, lookup_mode="route"),
+    dict(mesh_model=2),
+])
+def test_shard_layout_matches_replicate_with_same_composition(tmp_path, mesh_kw):
+    """device_cache_layout=shard: each device holds a contiguous 1/D slice
+    and shuffles it locally.  With shuffle off, step s's global batch is
+    concat_d(slice_d[s*b_dev:(s+1)*b_dev]); feeding exactly that composition
+    to the replicate layout via an injected permutation must give identical
+    losses and state (same math, same batch rows, same row order)."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    _reverse_fields(train)
+    kw = dict(batch_size=16, n_epochs=1, **mesh_kw)
+    t_sh = Trainer(
+        _cfg(train, device_cache="on", device_cache_layout="shard", **kw)
+    )
+    t_rep = Trainer(
+        _cfg(train, device_cache="on", device_cache_layout="replicate", **kw)
+    )
+    d = t_sh._cache_batch_devs()
+    n = 64
+    n_loc = n // d
+    b_dev = 16 // d
+    s_steps = n_loc // b_dev
+    # global order equivalent to the shard layout's unshuffled composition
+    order = np.empty(n, np.int64)
+    for s in range(s_steps):
+        for dev in range(d):
+            for t in range(b_dev):
+                order[s * 16 + dev * b_dev + t] = dev * n_loc + s * b_dev + t
+    loss_sh = t_sh.train_epoch(np.random.default_rng(0))  # shuffle ignored
+    t_sh2 = Trainer(
+        _cfg(train, device_cache="on", device_cache_layout="shard",
+             shuffle=False, **kw)
+    )
+    loss_sh2 = t_sh2.train_epoch(np.random.default_rng(0))
+    loss_rep = t_rep.train_epoch(_OrderRng(order))
+    assert t_sh2._dev_cache["train"].layout == "shard"
+    assert t_rep._dev_cache["train"].layout == "replicate"
+    np.testing.assert_allclose(loss_sh2, loss_rep, rtol=1e-6)
+    _state_equal(t_sh2.logical_state, t_rep.logical_state)
+    assert int(t_sh2.state.step) == s_steps
+    assert np.isfinite(loss_sh)  # shuffled variant runs too
+
+
+def test_shard_layout_eval_and_uneven_slices(tmp_path):
+    """58 samples over 8 devices -> uneven slices (6 devices x 8, 2 x 7
+    after base/rem split: 58 = 8*7 + 2): padded index rows must stay inert
+    (loss count == 58) and eval must equal the unsharded streamed eval."""
+    path = str(tmp_path / "t.ffm")
+    rng = np.random.default_rng(3)
+    with open(path, "w") as f:
+        for _ in range(58):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(c * 10, (c + 1) * 10))}"
+                f":{rng.random() * 0.9 + 0.1:.4f}"
+                for c in range(FIXTURE_FIELDS)
+            ][::-1]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(batch_size=16, n_epochs=1, mesh_model=8, lookup_mode="route")
+    t_sh = Trainer(
+        _cfg(path, path, device_cache="on", device_cache_layout="shard", **kw)
+    )
+    t_flat = Trainer(_cfg(path, path, device_cache="off"))
+    t_sh.train_epoch()
+    loss_sh, auc_sh = t_sh.evaluate()
+    entry = t_sh._dev_cache["eval"]
+    assert entry.layout == "shard"
+    assert sum(entry.n_loc) == 58
+    assert np.isfinite(loss_sh) and 0.0 <= auc_sh <= 1.0
+    # eval-path equivalence on ONE state: train unsharded/streamed, then
+    # evaluate that exact state through the shard-layout cached eval — the
+    # eval set is identical, so loss/AUC must match the streamed eval
+    t_flat.train_epoch()
+    loss_flat, auc_flat = t_flat.evaluate()
+    t_cross = Trainer(
+        _cfg(path, path, device_cache="on", device_cache_layout="shard", **kw),
+        state=t_flat.logical_state,
+    )
+    loss_cross, auc_cross = t_cross.evaluate()
+    assert t_cross._dev_cache["eval"].layout == "shard"
+    np.testing.assert_allclose(loss_cross, loss_flat, rtol=1e-6)
+    np.testing.assert_allclose(auc_cross, auc_flat, rtol=1e-6)
 
 
 def test_cached_step_count_and_remainder(tmp_path):
