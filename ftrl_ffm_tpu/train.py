@@ -1105,25 +1105,21 @@ class Trainer:
 
     def _resolve_cache_layout(self, n: int) -> Optional[str]:
         """Which cached-dataset layout engages for an n-sample dataset, or
-        None to stream (Config.device_cache / device_cache_layout)."""
-        cfg = self.cfg
+        None to stream (Config.device_cache / device_cache_layout).
+        `_device_cache_fits` is always True under device_cache="on"."""
         d = self._cache_batch_devs()
-        want = cfg.device_cache_layout
-        forced = cfg.device_cache == "on"
+        want = self.cfg.device_cache_layout
         if self._sharded is None or d == 1:
             # shard layout degenerates to replicate on one batch device
-            return (
-                "replicate"
-                if forced or self._device_cache_fits(n)
-                else None
-            )
+            return "replicate" if self._device_cache_fits(n) else None
+        if want == "replicate":
+            return "replicate" if self._device_cache_fits(n) else None
         per_dev = -(-n // d)
-        if want == "replicate" or (want == "auto" and
-                                   (forced or self._device_cache_fits(n))):
-            if forced or self._device_cache_fits(n):
-                return "replicate"
-            return None
-        if forced or self._device_cache_fits(per_dev):
+        if want == "shard":
+            return "shard" if self._device_cache_fits(per_dev) else None
+        if self._device_cache_fits(n):
+            return "replicate"
+        if self._device_cache_fits(per_dev):
             return "shard"
         return None
 
