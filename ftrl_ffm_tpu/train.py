@@ -1139,7 +1139,14 @@ class Trainer:
         Multi-process runs stream (each process already owns a byte-range
         slice of the FILE; a second cache layer would duplicate it)."""
         cfg = self.cfg
-        if cfg.online or cfg.device_cache == "off":
+        if cfg.device_cache == "off":
+            return None
+        if cfg.online and role == "train":
+            # online TRAINING is stream-semantics (single pass in file
+            # order, reference ftrl_online.cpp:42-67) — never cached.  The
+            # EVAL file is read-only and identical every epoch, so caching
+            # it is engaged in both modes (measured +50% on the eval row:
+            # the eval feed was the host/relay-bound path).
             return None
         if self._proc_n > 1:
             return None

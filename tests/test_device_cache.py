@@ -97,11 +97,25 @@ def test_cached_engages_automatically_offline(tmp_path):
     assert tr._dev_cache.get("train") is not None
 
 
-def test_not_engaged_online(tmp_path):
+def test_online_train_never_cached_but_eval_is(tmp_path):
+    """Online TRAINING is stream-semantics (single pass in file order) and
+    never caches; the EVAL file is read-only and identical every epoch, so
+    it caches in online mode too — and must match the streamed eval."""
     train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
-    t_onl = Trainer(_cfg(train, online=True))
-    t_onl.train_epoch()
+    evalp = write_fixture(tmp_path / "e.ffm", "libffm", seed=1)
+    t_onl = Trainer(_cfg(train, evalp, online=True, n_epochs=1))
+    loss = t_onl.train_epoch()
     assert "train" not in t_onl._dev_cache
+    e_cached = t_onl.evaluate()
+    assert t_onl._dev_cache.get("eval") is not None
+    t_ref = Trainer(
+        _cfg(train, evalp, online=True, n_epochs=1, device_cache="off")
+    )
+    t_ref.train_epoch()
+    assert "eval" not in t_ref._dev_cache or t_ref._dev_cache["eval"] is None
+    e_streamed = t_ref.evaluate()
+    np.testing.assert_allclose(e_cached[0], e_streamed[0], rtol=1e-6)
+    np.testing.assert_allclose(e_cached[1], e_streamed[1], rtol=1e-6)
 
 
 @pytest.mark.parametrize(

@@ -168,6 +168,8 @@ def run_row(row: str) -> dict:
     trainer = Trainer(Config(**kw))
     trainer.train_epoch()  # warm-up: compile + page-in
     jax.block_until_ready(trainer.state.lin_z)
+    cache = trainer._dev_cache.get("train")
+    cache_tag = cache.layout if cache is not None else "streamed"
 
     if row == "eval":
         trainer.cfg.eval_data = path
@@ -177,8 +179,10 @@ def run_row(row: str) -> dict:
             t0 = time.perf_counter()
             loss, auc = trainer.evaluate()
             times.append(time.perf_counter() - t0)
+        ec = trainer._dev_cache.get("eval")
         return {"row": row, "examples_per_s": round(N_SAMPLES / min(times), 1),
-                "eval_loss": round(loss, 4)}
+                "eval_loss": round(loss, 4),
+                "device_cache": ec.layout if ec is not None else "streamed"}
 
     times = []
     for _ in range(2):
@@ -190,6 +194,7 @@ def run_row(row: str) -> dict:
         "row": row,
         "examples_per_s": round(N_SAMPLES / min(times), 1),
         "train_loss": round(loss, 4),
+        "device_cache": cache_tag,
     }
     if variant != "uniform":
         out.update(data_stats(path))
