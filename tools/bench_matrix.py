@@ -153,8 +153,11 @@ def run_row(row: str) -> dict:
         n_epochs=1,
         # 16384 is the measured-best batch since round 3's upload markers
         # (device +8.5% at 100k rows; at 1M rows it amortizes the fixed
-        # O(R) closed-form pass: 114.6k -> 162.9k device-bound)
-        batch_size=16384 if row in ("ffm", "ffm1m") else 8192,
+        # O(R) closed-form pass: 114.6k -> 162.9k device-bound); the
+        # offline row joined in round 4 — its cached epochs are device-
+        # bound, so the bigger batch carries end to end (254-257k vs 233-
+        # 239k at 8192)
+        batch_size=16384 if row in ("ffm", "ffm1m", "offline") else 8192,
         max_nnz=N_FIELDS,
         n_threads=3,
         acc_dtype=os.environ.get("ACC_DTYPE", "float32"),
