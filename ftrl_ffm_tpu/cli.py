@@ -276,6 +276,16 @@ def main(argv: list[str] | None = None) -> int:
             ),
             args.import_reference_model,
         )
+    if args.export_reference_text_model and cfg.ref_row_width == 0:
+        # validate BEFORE training: failing this after hours of training
+        # (and skipping the sibling binary export on the way out) would
+        # throw the run away over a flag typo
+        print(
+            "error: --export_reference_text_model needs a factor model "
+            "(FM/FFM) — the text format has factor rows",
+            file=sys.stderr,
+        )
+        return 2
     if args.import_reference_text_model:
         if cfg.ref_row_width == 0:
             print(
@@ -322,13 +332,7 @@ def main(argv: list[str] | None = None) -> int:
         n = trainer.predict_file(args.predict_data, args.predict_output)
         info(f"wrote {n} predictions to {args.predict_output}")
     if args.export_reference_model or args.export_reference_text_model:
-        if args.export_reference_text_model and cfg.ref_row_width == 0:
-            print(
-                "error: --export_reference_text_model needs a factor model "
-                "(FM/FFM) — the text format has factor rows",
-                file=sys.stderr,
-            )
-            return 2
+        # (text-export model-type compatibility was validated pre-training)
         # logical_state allgathers on every process; only one writes
         lstate = trainer.logical_state
         if not multi or trainer._proc_id == 0:

@@ -62,7 +62,13 @@ class FtrlParams(NamedTuple):
 # which zeros the slot — so two bit-identical training runs could disagree
 # at init scale depending on compilation alone.  Any real touch contributes
 # g^2 >= ~1e-12 (|g| >= ~1e-6 at logistic-gradient x value scales), so
-# 1e-16 separates the regimes by >4 orders of magnitude on either side.
+# 1e-16 separates the regimes by >4 orders of magnitude on either side,
+# and tolerates ~10^6 dusty steps of accumulation before a false "touched".
+# The converse misclassification — a slot whose every touch so far had
+# |g| < 1e-8 (a saturated model meeting a fractional-valued feature for
+# the first time) keeps its init weight instead of closed-forming to 0 —
+# is accepted: it is loss-invisible at that gradient scale and
+# self-corrects on the slot's first non-tiny touch.
 UNTOUCHED_N = 1e-16
 
 

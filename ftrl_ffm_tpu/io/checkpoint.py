@@ -302,9 +302,13 @@ def import_reference_text_model(path: str, n_feats: int, row_width: int):
         raise
     except ValueError as e:
         raise IncompatibleStateError(f"{path}: malformed number: {e}") from e
-    if vec_w.shape[-1] < row_width:
+    if vec_w.shape[-1] != row_width:
+        # exact match only: a wider import would otherwise silently drop
+        # factor lanes (e.g. a k=8 model warm-started under k=4) — the
+        # same misinterpretation class the checkpoint header validation
+        # exists to make loud
         raise IncompatibleStateError(
             f"{path}: factor rows have {vec_w.shape[-1]} values, but the "
-            f"config (n_fields * n_factors) expects {row_width}"
+            f"config (n_fields * n_factors) expects exactly {row_width}"
         )
-    return bias, lin_w, vec_w[:, :row_width]
+    return bias, lin_w, vec_w

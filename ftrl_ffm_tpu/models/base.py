@@ -524,8 +524,13 @@ class Model:
         def zeros_among_touched(n_tab, w_tab):
             # untouched rows are zero by construction here (the reference
             # keeps a nonzero gaussian init on untouched rows), so restrict
-            # to touched coordinates (n > 0 after any gradient)
-            touched = n_tab > 0
+            # to touched coordinates — the same dust-proof threshold as the
+            # update paths (ftrl.UNTOUCHED_N): an exact-zero test would call
+            # cancellation-dust slots "touched" and give a compilation-
+            # dependent answer for the same trained state
+            from ftrl_ffm_tpu.ftrl import UNTOUCHED_N
+
+            touched = n_tab > UNTOUCHED_N
             return bool(jnp.any(jnp.logical_and(touched, w_tab == 0.0)))
 
         if table not in ("linear", "factor", "any"):

@@ -1155,11 +1155,27 @@ class Trainer:
         if role == "eval" and not cfg.eval_data:
             return None
         if role not in self._dev_cache:
+            if cfg.online and role == "eval":
+                # the streamed ONLINE eval never loads the file into RAM;
+                # don't pay a full parse (and a resident parsed copy) just
+                # to discover the cache declines — pre-gate on a parse-free
+                # line count (blank lines overcount: conservative)
+                from ftrl_ffm_tpu.data.loader import count_lines
+
+                n_est = count_lines(cfg.eval_data, None)
+                if self._resolve_cache_layout(max(n_est, 1)) is None:
+                    self._dev_cache[role] = None
+                    return None
             ds = self._ensure_ds(role)
             self._dev_cache[role] = None
             layout = self._resolve_cache_layout(ds.n) if ds.n > 0 else None
             if layout is not None:
                 self._dev_cache[role] = self._build_device_cache(ds, layout)
+                # the parsed host copy is dead once the dataset lives in
+                # device memory (the streamed fallback is never used for a
+                # cached role) — free it instead of holding both for the
+                # run's lifetime
+                delattr(self, "_train_ds" if role == "train" else "_eval_ds")
         return self._dev_cache[role]
 
     def _build_device_cache(self, ds, layout: str):
@@ -1246,16 +1262,25 @@ class Trainer:
         ds_bytes = (n + 1) * (12 * self.cfg.max_nnz + 4)
         try:
             dev = jax.devices()[0]
-            if dev.platform != "tpu":
-                # CPU/GPU dev backends: "device memory" is host RAM that
-                # already holds the parsed arrays — nothing extra to gate on
+            if dev.platform == "cpu":
+                # CPU backend: "device memory" is host RAM that already
+                # holds the parsed arrays — nothing extra to gate on
                 return True
             stats = {}
             try:
                 stats = dev.memory_stats() or {}
             except Exception:
                 pass
-            limit = stats.get("bytes_limit", 16 << 30)
+            if dev.platform == "tpu":
+                # memory_stats is empty through the remote relay; 16 GB is
+                # the v5e floor (BASELINE.md preflight calibration)
+                limit = stats.get("bytes_limit", 16 << 30)
+            else:
+                # GPU and friends report real stats; with no budget known,
+                # decline and stream rather than risk RESOURCE_EXHAUSTED
+                limit = stats.get("bytes_limit", 0)
+                if not limit:
+                    return False
         except Exception:
             return False
         est = estimate_hbm_bytes(self.cfg)

@@ -460,6 +460,10 @@ def test_import_reference_text_model_validation(tmp_path):
         import_reference_text_model(path, N_FEATS + 3, N_FIELDS * K)
     with pytest.raises(IncompatibleStateError, match="factor rows"):
         import_reference_text_model(path, N_FEATS, N_FIELDS * K + 1)
+    with pytest.raises(IncompatibleStateError, match="factor rows"):
+        # WIDER import must also raise (a k=2K model under a k=K config) —
+        # silently slicing the rows would scramble the warm start
+        import_reference_text_model(path, N_FEATS, N_FIELDS * K - 1)
     bad = str(tmp_path / "bad.txt")
     with open(path) as f, open(bad, "w") as g:
         g.write(f.read().replace("0.", "x.", 1))
