@@ -312,6 +312,36 @@ def test_shard_layout_eval_and_uneven_slices(tmp_path):
     np.testing.assert_allclose(auc_cross, auc_flat, rtol=1e-6)
 
 
+def test_cached_resume_is_exact(tmp_path):
+    """Checkpoint after 2 cached epochs, reload into a fresh trainer, run
+    epoch 3 — must equal the uninterrupted 3-epoch cached run bit-exactly
+    (same jitted program on both sides; the shared epoch-rng seed keeps the
+    permutations aligned)."""
+    from ftrl_ffm_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    _reverse_fields(train)
+    t_full = Trainer(_cfg(train, device_cache="on"))
+    rng_full = np.random.default_rng(7)
+    for _ in range(3):
+        t_full.train_epoch(rng_full)
+
+    t_a = Trainer(_cfg(train, device_cache="on"))
+    rng_a = np.random.default_rng(7)
+    t_a.train_epoch(rng_a)
+    t_a.train_epoch(rng_a)
+    ckpt = str(tmp_path / "mid.zst")
+    save_checkpoint(ckpt, t_a.state)
+    state, _ = load_checkpoint(ckpt)
+    t_b = Trainer(_cfg(train, device_cache="on"), state=state)
+    t_b.train_epoch(rng_a)  # rng stream continues where epoch 2 left it
+    for x, y in zip(
+        jax.tree_util.tree_leaves(t_full.state),
+        jax.tree_util.tree_leaves(t_b.state),
+    ):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_cached_step_count_and_remainder(tmp_path):
     """64 samples at B=24 -> 3 steps/epoch with a padded remainder; padded
     samples must not contribute to the loss count or the state."""
