@@ -312,6 +312,25 @@ def test_shard_layout_eval_and_uneven_slices(tmp_path):
     np.testing.assert_allclose(auc_cross, auc_flat, rtol=1e-6)
 
 
+def test_shard_layout_more_devices_than_samples(tmp_path):
+    """3 samples over 8 batch devices: empty slices are all-inert blocks
+    (sample_w 0) and the loss counts exactly the real samples."""
+    from tests.common import fixture_lines
+
+    path = str(tmp_path / "tiny.ffm")
+    with open(path, "w") as f:
+        f.write("\n".join(fixture_lines("libffm", seed=0)[:3]) + "\n")
+    t = Trainer(
+        _cfg(path, device_cache="on", device_cache_layout="shard",
+             n_epochs=1, batch_size=16, mesh_model=8, lookup_mode="route")
+    )
+    loss = t.train_epoch()
+    entry = t._dev_cache["train"]
+    assert entry.layout == "shard" and sum(entry.n_loc) == 3
+    assert np.isfinite(loss)
+    assert int(t.state.step) == 1
+
+
 def test_cached_resume_is_exact(tmp_path):
     """Checkpoint after 2 cached epochs, reload into a fresh trainer, run
     epoch 3 — must equal the uninterrupted 3-epoch cached run bit-exactly
