@@ -44,9 +44,10 @@ class _DevCache(NamedTuple):
     layout: str
     ds: tuple
     n: int
-    n_loc: Optional[list]
-    rows_loc: Optional[int]
+    n_loc: Optional[list]          # shard: THIS process's per-device counts
+    rows_loc: Optional[int]        # shard: global max slice + 1 (inert row)
     n_real_dev: Optional[object]
+    idx_sharding: Optional[object] = None  # multi-process: [B] row sharding
 
 
 _cache_enabled = False
@@ -1104,11 +1105,21 @@ class Trainer:
         return out
 
     def _resolve_cache_layout(self, n: int) -> Optional[str]:
-        """Which cached-dataset layout engages for an n-sample dataset, or
-        None to stream (Config.device_cache / device_cache_layout).
-        `_device_cache_fits` is always True under device_cache="on"."""
+        """Which cached-dataset layout engages for an n-sample dataset
+        (n = THIS process's slice), or None to stream (Config.device_cache
+        / device_cache_layout).  `_device_cache_fits` is always True under
+        device_cache="on"."""
         d = self._cache_batch_devs()
         want = self.cfg.device_cache_layout
+        if self._proc_n > 1:
+            # each process holds only its byte-range slice, so replicate
+            # is impossible without an allgather of the dataset — the
+            # multi-process cache is shard-layout only (which is already
+            # its semantics: per-slice shuffle, lockstep steps)
+            if want == "replicate":
+                return None
+            per_dev = -(-n // max(1, d // self._proc_n))
+            return "shard" if self._device_cache_fits(per_dev) else None
         if self._sharded is None or d == 1:
             # shard layout degenerates to replicate on one batch device
             return "replicate" if self._device_cache_fits(n) else None
@@ -1136,8 +1147,10 @@ class Trainer:
         shuffle, streamed-identical batches) or sharded 1/D per device
         (per-slice shuffle, the multi-host streamed semantics) — see
         Config.device_cache_layout and ShardedStep.build_cached_steps.
-        Multi-process runs stream (each process already owns a byte-range
-        slice of the FILE; a second cache layer would duplicate it)."""
+        Multi-process runs use the shard layout: each process splits its
+        byte-range slice over its local devices and the global arrays are
+        assembled with make_array_from_process_local_data — exactly the
+        placement the streamed multi-host batches use."""
         cfg = self.cfg
         if cfg.device_cache == "off":
             return None
@@ -1147,8 +1160,6 @@ class Trainer:
             # EVAL file is read-only and identical every epoch, so caching
             # it is engaged in both modes (measured +50% on the eval row:
             # the eval feed was the host/relay-bound path).
-            return None
-        if self._proc_n > 1:
             return None
         if self._sharded is not None and self._spc > 1:
             return None  # scan grouping: the streamed sharded multi covers it
@@ -1181,26 +1192,56 @@ class Trainer:
     def _build_device_cache(self, ds, layout: str):
         cfg = self.cfg
         f = cfg.max_nnz
-        d = self._cache_batch_devs() if layout == "shard" else 1
         # dataset-level canonical-content markers (the cached twin of
-        # _compact's per-batch zero-width markers): store only a zero-size
-        # sentinel when fields/vals carry no information
+        # _compact's per-batch zero-size markers): store only a zero-size
+        # sentinel when fields/vals carry no information.  Multi-process:
+        # the marker decision must be GLOBAL (it changes the jitted
+        # program's input shapes, which every process must agree on)
         lr_fm = cfg.model_type in ("LR", "FM")
         iota_fields = (
             not lr_fm
             and (ds.fields == np.arange(f, dtype=np.int32)).all()
         )
         ones_vals = (ds.vals == 1.0).all()
+        if self._proc_n > 1:
+            from jax.experimental import multihost_utils
+
+            flags = np.asarray(
+                multihost_utils.process_allgather(
+                    np.asarray([iota_fields, ones_vals], np.int32)
+                )
+            ).reshape(self._proc_n, 2)
+            iota_fields = bool(flags[:, 0].all())
+            ones_vals = bool(flags[:, 1].all())
 
         if layout == "shard":
+            # split THIS process's slice over its local batch devices;
+            # rows_loc (padded rows per device) is agreed globally
+            d_global = self._cache_batch_devs()
+            d = d_global // self._proc_n
+            if d < 1 or d_global % self._proc_n:
+                raise ValueError(
+                    f"batch-axis devices ({d_global}) must be a multiple "
+                    f"of process count ({self._proc_n}) for the shard-"
+                    f"layout device cache"
+                )
             base, rem = divmod(ds.n, d)
             n_loc = [base + (1 if i < rem else 0) for i in range(d)]
             offs = np.concatenate([[0], np.cumsum(n_loc)])
-            rows_loc = max(n_loc) + 1  # + inert pad row per device
+            max_loc = max(n_loc)
+            if self._proc_n > 1:
+                max_loc = int(
+                    np.max(
+                        multihost_utils.process_allgather(
+                            np.asarray(max_loc, np.int64)
+                        )
+                    )
+                )
+            rows_loc = max_loc + 1  # + inert pad row per device
 
             def blocks(arr, pad_row):
-                """[n, ...] -> [d * rows_loc, ...]: contiguous per-device
-                slices, each padded with inert rows to rows_loc."""
+                """local [n, ...] -> [d * rows_loc, ...]: contiguous
+                per-device slices, each padded with inert rows."""
                 parts = []
                 for i in range(d):
                     parts.append(arr[offs[i]: offs[i + 1]])
@@ -1233,6 +1274,7 @@ class Trainer:
         )
 
         n_real_dev = None
+        idx_sharding = None
         if self._sharded is None:
             ds_dev = tuple(jnp.asarray(a) for a in ds_host)
         else:
@@ -1242,19 +1284,44 @@ class Trainer:
             mesh = self._sharded.mesh
             axes = self._sharded._batch_axes
             spec = P() if layout == "replicate" else P(axes)
-            ds_dev = jax.device_put(ds_host, NamedSharding(mesh, spec))
-            self._sharded.build_cached_steps(layout)
-            if layout == "shard":
-                n_real_dev = jax.device_put(
-                    np.asarray(n_loc, np.int32),
+            sh = NamedSharding(mesh, spec)
+            if self._proc_n > 1:
+                # the global array spans processes: each contributes its
+                # local devices' blocks (same placement as streamed
+                # multi-host batches, sharded.py::place_batch)
+                d_global = self._cache_batch_devs()
+
+                def put(a):
+                    gshape = (d_global * rows_loc,) + a.shape[1:]
+                    if a.shape[0] == 0:  # zero-size marker: global too
+                        gshape = (0,) + a.shape[1:]
+                    return jax.make_array_from_process_local_data(
+                        sh, a, gshape
+                    )
+
+                ds_dev = tuple(put(a) for a in ds_host)
+                n_real_dev = jax.make_array_from_process_local_data(
                     NamedSharding(mesh, P(axes)),
+                    np.asarray(n_loc, np.int32),
+                    (d_global,),
                 )
+                idx_sharding = NamedSharding(mesh, P(axes))
             else:
+                ds_dev = jax.device_put(ds_host, sh)
+                if layout == "shard":
+                    n_real_dev = jax.device_put(
+                        np.asarray(n_loc, np.int32),
+                        NamedSharding(mesh, P(axes)),
+                    )
+            self._sharded.build_cached_steps(layout)
+            if layout == "replicate":
                 self._gather_train_one = self._sharded.gather_train_one
                 self._gather_eval_one = jax.jit(
                     self._gather_eval_auc_sharded_impl
                 )
-        return _DevCache(layout, ds_dev, ds.n, n_loc, rows_loc, n_real_dev)
+        return _DevCache(
+            layout, ds_dev, ds.n, n_loc, rows_loc, n_real_dev, idx_sharding
+        )
 
     def _device_cache_fits(self, n: int) -> bool:
         if self.cfg.device_cache == "on":
@@ -1312,13 +1379,14 @@ class Trainer:
             yield part, real
 
     def _cached_idx_shard(self, entry: _DevCache, epoch_rng, shuffle: bool):
-        """[S, B] int32 rows of device-LOCAL indices for the shard layout:
-        column block d holds device d's slice-local permutation, padded at
-        its inert row.  Steps per epoch = ceil(max_slice / b_device) — the
-        multi-host streamed lockstep count."""
+        """[S, B_local] int32 rows of device-LOCAL indices for the shard
+        layout: column block d holds (this process's) device d's slice-
+        local permutation, padded at its inert row.  Steps per epoch =
+        ceil(global_max_slice / b_device) (from entry.rows_loc, which is
+        globally agreed) — the multi-host streamed lockstep count."""
         d = len(entry.n_loc)
         b_dev = self._local_bs // d
-        s = -(-max(entry.n_loc) // b_dev)
+        s = -(-(entry.rows_loc - 1) // b_dev)
         cols = []
         for i in range(d):
             perm = np.arange(entry.n_loc[i])
@@ -1331,6 +1399,15 @@ class Trainer:
                 )
             cols.append(perm.reshape(s, b_dev))
         return np.concatenate(cols, axis=1).astype(np.int32)
+
+    def _cached_row(self, entry: _DevCache, row: np.ndarray):
+        """One step's index row, globally placed when the mesh spans
+        processes (each process contributes its local devices' slice)."""
+        if entry.idx_sharding is None:
+            return row
+        return jax.make_array_from_process_local_data(
+            entry.idx_sharding, row, (self.cfg.batch_size,)
+        )
 
     def _train_epoch_cached(self, cache: _DevCache, epoch_rng, maybe_save) -> float:
         ds_dev, n = cache.ds, cache.n
@@ -1361,7 +1438,7 @@ class Trainer:
                 rows = self._cached_idx(n, order)
                 fn = self._sharded.gather_train_one
             for row in rows:
-                out = fn(self.state, ds_dev, row, n_arr)
+                out = fn(self.state, ds_dev, self._cached_row(cache, row), n_arr)
                 self.state = out.state
                 sums.append((out.loss_sum, out.count))
                 if out.route_overflow is not None:
@@ -1824,7 +1901,10 @@ class Trainer:
                 for row in self._cached_idx_shard(cache, None, False):
                     add(
                         self._sharded.gather_eval_auc_shard(
-                            self.state, ds_dev, row, cache.n_real_dev
+                            self.state,
+                            ds_dev,
+                            self._cached_row(cache, row),
+                            cache.n_real_dev,
                         )
                     )
             elif self._spc > 1:

@@ -24,6 +24,9 @@ def main() -> None:
     n_epochs = int(sys.argv[10]) if len(sys.argv) > 10 else 2
     model_type = sys.argv[11] if len(sys.argv) > 11 else "FFM"
     update_mode = sys.argv[12] if len(sys.argv) > 12 else "auto"
+    online = (sys.argv[13] == "1") if len(sys.argv) > 13 else True
+    device_cache = sys.argv[14] if len(sys.argv) > 14 else "auto"
+    shuffle = (sys.argv[15] == "1") if len(sys.argv) > 15 else True
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -45,7 +48,9 @@ def main() -> None:
         n_factors=4,
         batch_size=256,
         n_epochs=n_epochs,
-        online=True,
+        online=online,
+        device_cache=device_cache,
+        shuffle=shuffle,
         # mesh_data=0: span ALL global devices (both processes) on the data
         # axis — make_mesh resolves 0 to device_count // mesh_model
         mesh_data=0 if mesh_model > 1 else 1,
@@ -80,6 +85,10 @@ def main() -> None:
                 "device_count": jax.device_count(),
                 "local_device_count": jax.local_device_count(),
                 "compact_agreed": agreed,
+                "device_cache": {
+                    role: (e.layout if e is not None else "streamed")
+                    for role, e in tr._dev_cache.items()
+                },
             },
             f,
         )

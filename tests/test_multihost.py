@@ -391,3 +391,42 @@ def test_four_process_route_inplace_matches_single(tmp_path):
             rtol=1e-3, atol=1e-5, err_msg=name,
         )
     assert int(state.step) == int(ref.state.step)
+
+
+def test_two_process_device_cache_shard_matches_single(tmp_path):
+    """Multi-process device cache: each process splits its byte-range slice
+    over its local devices and epochs run from HBM (shard layout, lockstep
+    steps).  256 fixed-width lines in ONE global batch, shuffle off: the
+    cached composition equals the single-process offline streamed batch in
+    file order, so losses must match up to f32 reassociation — and both
+    roles (train + eval) must report the shard cache engaged."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    cfg = Config(
+        train_data=data, eval_data=data, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=256, n_epochs=2, online=False,
+        shuffle=False, device_cache="off",
+    )
+    ref = Trainer(cfg).train()
+
+    hists = _run_two_processes(
+        tmp_path, data,
+        # mesh (1,8) route over both processes; offline, forced cache,
+        # shuffle off (argv: mesh_model lookup ckpt pred epochs model
+        # update online device_cache shuffle)
+        extra_args=(8, "route", "", "", 2, "FFM", "auto", 0, "on", 0),
+    )
+    for hist in hists:
+        assert hist["process_count"] == 2
+        assert hist["device_cache"] == {"train": "shard", "eval": "shard"}
+        np.testing.assert_allclose(
+            hist["train_loss"], ref["train_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_loss"], ref["eval_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_auc"], ref["eval_auc"], rtol=1e-4
+        )
