@@ -430,3 +430,34 @@ def test_two_process_device_cache_shard_matches_single(tmp_path):
         np.testing.assert_allclose(
             hist["eval_auc"], ref["eval_auc"], rtol=1e-4
         )
+
+
+def test_four_process_device_cache_shard_matches_single(tmp_path):
+    """Cached twin of the 4-process streamed tier: a (1, 4) mesh spanning
+    4 processes (one device each, d_local=1), routed lookups, the whole
+    dataset resident across the processes' device memories."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    cfg = Config(
+        train_data=data, eval_data=data, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=256, n_epochs=2, online=False,
+        shuffle=False, device_cache="off",
+    )
+    ref = Trainer(cfg).train()
+
+    hists = _run_processes(
+        tmp_path, data, nprocs=4, dev_per_proc=1,
+        extra_args=(4, "route", "", "", 2, "FFM", "auto", 0, "on", 0),
+    )
+    for hist in hists:
+        assert hist["process_count"] == 4
+        assert hist["device_cache"] == {"train": "shard", "eval": "shard"}
+        np.testing.assert_allclose(
+            hist["train_loss"], ref["train_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_loss"], ref["eval_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(hist["eval_auc"], ref["eval_auc"], rtol=1e-4)
