@@ -116,12 +116,16 @@ class Config:
     route_overflow_policy: str = "warn"
     eval_auc: bool = True            # new capability vs reference (log-loss only)
     shuffle: bool = True             # offline mode epoch shuffle
-    # Device-resident offline datasets (offline mode, single process,
-    # unsharded): upload the parsed dataset to HBM once, then run every
-    # epoch's batch gather + train steps entirely on device (host supplies
-    # only the 4-byte/sample shuffle permutation) — the TPU-native form of
-    # the reference's in-memory offline mode (src/task/ftrl_offline.cpp:21-42
-    # loads everything into RAM; here "memory" is HBM).  Batches are
+    # Device-resident datasets: upload the parsed dataset to HBM once, then
+    # run every epoch's batch gather + train steps entirely on device (host
+    # supplies only a 4-byte/sample index row per step) — the TPU-native
+    # form of the reference's in-memory offline mode
+    # (src/task/ftrl_offline.cpp:21-42 loads everything into RAM; here
+    # "memory" is HBM).  Offline epochs shuffle per `shuffle`; ONLINE train
+    # epochs replay the cache in FILE ORDER — identical batches to the
+    # streamed single-pass-per-epoch semantics (the reference rewinds and
+    # re-reads the same file each epoch, src/task/ftrl_online.cpp:42-58) —
+    # and --cmd stdin never caches (it cannot be re-read).  Batches are
     # identical to the streamed path's (ulp-level jit-fusion slack only,
     # like steps_per_call).  "auto" engages when the dataset
     # fits the per-device HBM budget next to the model state and update

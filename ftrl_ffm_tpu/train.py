@@ -1138,8 +1138,10 @@ class Trainer:
         """Device-resident offline dataset for `role`, or None when the mode
         is not engaged (Config.device_cache).
 
-        Engaged: offline, single process, and (auto) the arrays fit
-        per-device HBM next to the state + update working set.  The
+        Engaged: file-backed input (never --cmd stdin for train) and (auto)
+        the arrays fit per-device HBM next to the state + update working
+        set.  Online TRAIN epochs replay the cache in file order (stream
+        semantics, no shuffle); offline epochs shuffle per Config.  The
         uploaded dataset carries inert pad rows (field 0, feat id =
         n_feats, value 0) that padded permutation indices point at, so a
         gathered batch equals the streamed batch_iterator's padded batches.
@@ -1154,26 +1156,29 @@ class Trainer:
         cfg = self.cfg
         if cfg.device_cache == "off":
             return None
-        if cfg.online and role == "train":
-            # online TRAINING is stream-semantics (single pass in file
-            # order, reference ftrl_online.cpp:42-67) — never cached.  The
-            # EVAL file is read-only and identical every epoch, so caching
-            # it is engaged in both modes (measured +50% on the eval row:
-            # the eval feed was the host/relay-bound path).
+        if cfg.online and role == "train" and cfg.cmd:
+            # stdin cannot be re-read (and each epoch may carry new data) —
+            # the --cmd stream always trains streamed
             return None
         if self._sharded is not None and self._spc > 1:
             return None  # scan grouping: the streamed sharded multi covers it
         if role == "eval" and not cfg.eval_data:
             return None
         if role not in self._dev_cache:
-            if cfg.online and role == "eval":
-                # the streamed ONLINE eval never loads the file into RAM;
+            if cfg.online:
+                # ONLINE streamed passes never load the file into RAM;
                 # don't pay a full parse (and a resident parsed copy) just
                 # to discover the cache declines — pre-gate on a parse-free
-                # line count (blank lines overcount: conservative)
+                # line count (blank lines overcount: conservative).  When
+                # the cache engages for online TRAIN, epochs replay the
+                # HBM-resident dataset in file order — identical batches to
+                # the streamed single-pass-per-epoch semantics (reference
+                # ftrl_online.cpp:42-58 rewinds and re-reads the same file
+                # each epoch), with zero host parse work after the build.
                 from ftrl_ffm_tpu.data.loader import count_lines
 
-                n_est = count_lines(cfg.eval_data, None)
+                path = cfg.train_data if role == "train" else cfg.eval_data
+                n_est = count_lines(path, self._byte_range(path))
                 if self._resolve_cache_layout(max(n_est, 1)) is None:
                     self._dev_cache[role] = None
                     return None
@@ -1411,9 +1416,12 @@ class Trainer:
 
     def _train_epoch_cached(self, cache: _DevCache, epoch_rng, maybe_save) -> float:
         ds_dev, n = cache.ds, cache.n
+        # online = stream semantics: every epoch replays the file order
+        # (reference ftrl_online.cpp:42-58 rewinds and re-reads; no shuffle)
+        shuffle = self.cfg.shuffle and not self.cfg.online
         if cache.layout == "replicate":
             order = np.arange(n)
-            if self.cfg.shuffle:
+            if shuffle:
                 # same rng call as batch_iterator's host-side shuffle, so the
                 # cached and streamed paths see identical permutations
                 epoch_rng.shuffle(order)
@@ -1431,7 +1439,7 @@ class Trainer:
                 maybe_save(self._steps_done + done, self._steps_done + prev)
         elif self._sharded is not None:
             if cache.layout == "shard":
-                rows = self._cached_idx_shard(cache, epoch_rng, self.cfg.shuffle)
+                rows = self._cached_idx_shard(cache, epoch_rng, shuffle)
                 n_arr = cache.n_real_dev
                 fn = self._sharded.gather_train_one_shard
             else:

@@ -25,7 +25,10 @@ def main() -> None:
     model_type = sys.argv[11] if len(sys.argv) > 11 else "FFM"
     update_mode = sys.argv[12] if len(sys.argv) > 12 else "auto"
     online = (sys.argv[13] == "1") if len(sys.argv) > 13 else True
-    device_cache = sys.argv[14] if len(sys.argv) > 14 else "auto"
+    # default "off": most multihost tests pin the STREAMED byte-range path
+    # (dynamic compact transfer, route lookups over live uploads); the
+    # cached tiers are exercised by the explicit device_cache="on" tests
+    device_cache = sys.argv[14] if len(sys.argv) > 14 else "off"
     shuffle = (sys.argv[15] == "1") if len(sys.argv) > 15 else True
     import jax
 

@@ -97,25 +97,49 @@ def test_cached_engages_automatically_offline(tmp_path):
     assert tr._dev_cache.get("train") is not None
 
 
-def test_online_train_never_cached_but_eval_is(tmp_path):
-    """Online TRAINING is stream-semantics (single pass in file order) and
-    never caches; the EVAL file is read-only and identical every epoch, so
-    it caches in online mode too — and must match the streamed eval."""
+def test_online_train_cached_matches_streamed(tmp_path):
+    """Online TRAIN caches too (file-backed input only): epochs replay the
+    HBM-resident dataset in FILE ORDER — identical batches to the streamed
+    single-pass-per-epoch semantics (reference ftrl_online.cpp:42-58
+    rewinds and re-reads the same file each epoch).  Per-epoch train/eval
+    losses and final state must match the streamed online run; the eval
+    cache equality rides along."""
     train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
     evalp = write_fixture(tmp_path / "e.ffm", "libffm", seed=1)
-    t_onl = Trainer(_cfg(train, evalp, online=True, n_epochs=1))
-    loss = t_onl.train_epoch()
-    assert "train" not in t_onl._dev_cache
-    e_cached = t_onl.evaluate()
-    assert t_onl._dev_cache.get("eval") is not None
-    t_ref = Trainer(
-        _cfg(train, evalp, online=True, n_epochs=1, device_cache="off")
+    t_on = Trainer(_cfg(train, evalp, online=True, device_cache="on"))
+    t_off = Trainer(_cfg(train, evalp, online=True, device_cache="off"))
+    h_on = t_on.train()
+    h_off = t_off.train()
+    assert t_on._dev_cache.get("train") is not None
+    assert "train" not in t_off._dev_cache or t_off._dev_cache["train"] is None
+    np.testing.assert_allclose(
+        h_on["train_loss"], h_off["train_loss"], rtol=1e-6
     )
-    t_ref.train_epoch()
-    assert "eval" not in t_ref._dev_cache or t_ref._dev_cache["eval"] is None
-    e_streamed = t_ref.evaluate()
-    np.testing.assert_allclose(e_cached[0], e_streamed[0], rtol=1e-6)
-    np.testing.assert_allclose(e_cached[1], e_streamed[1], rtol=1e-6)
+    np.testing.assert_allclose(h_on["eval_loss"], h_off["eval_loss"], rtol=1e-6)
+    np.testing.assert_allclose(h_on["eval_auc"], h_off["eval_auc"], rtol=1e-6)
+    _state_equal(t_on.state, t_off.state)
+
+
+def test_online_train_cache_engages_automatically(tmp_path):
+    """auto engages for file-backed online train on the CPU test backend;
+    multi-epoch train losses keep decreasing (file-order replay, no
+    shuffle — a shuffled replay would diverge from the streamed twin,
+    covered by the equality test above)."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, online=True))
+    tr.train_epoch()
+    assert tr._dev_cache.get("train") is not None
+
+
+def test_online_cmd_stdin_never_caches_train(tmp_path):
+    """--cmd streams from stdin: it cannot be re-read, so the train role
+    must decline the cache before touching any file."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    tr = Trainer(
+        _cfg(train, online=True, cmd=True, device_cache="on", max_nnz=8)
+    )
+    assert tr._ensure_device_cache("train") is None
+    assert tr._dev_cache.get("train", None) is None
 
 
 @pytest.mark.parametrize(

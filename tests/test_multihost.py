@@ -461,3 +461,39 @@ def test_four_process_device_cache_shard_matches_single(tmp_path):
             hist["eval_loss"], ref["eval_loss"], rtol=2e-5
         )
         np.testing.assert_allclose(hist["eval_auc"], ref["eval_auc"], rtol=1e-4)
+
+
+def test_two_process_online_device_cache_matches_single_streamed(tmp_path):
+    """ONLINE multi-process device cache (round 4): epoch 1 parses each
+    process's byte-range slice once, epochs replay the HBM-resident shards
+    in FILE ORDER (stream semantics — no shuffle regardless of
+    Config.shuffle).  Losses must match the single-process streamed online
+    run: 256 fixed-width lines fit ONE global batch, so the cached shard
+    composition equals the streamed batch."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = _write_fixed_width_ffm(tmp_path / "train.ffm", n=256)
+    cfg = Config(
+        train_data=data, eval_data=data, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=256, n_epochs=2, online=True,
+        device_cache="off",
+    )
+    ref = Trainer(cfg).train()
+
+    hists = _run_two_processes(
+        tmp_path, data,
+        # online=1, device_cache=on, shuffle=1 (must be ignored: online
+        # replay is stream-order by construction)
+        extra_args=(8, "route", "", "", 2, "FFM", "auto", 1, "on", 1),
+    )
+    for hist in hists:
+        assert hist["process_count"] == 2
+        assert hist["device_cache"] == {"train": "shard", "eval": "shard"}
+        np.testing.assert_allclose(
+            hist["train_loss"], ref["train_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(
+            hist["eval_loss"], ref["eval_loss"], rtol=2e-5
+        )
+        np.testing.assert_allclose(hist["eval_auc"], ref["eval_auc"], rtol=1e-4)

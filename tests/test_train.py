@@ -384,6 +384,10 @@ def test_layout_pin_repair_on_stale_executable(tmp_path):
     kw = dict(
         train_data=str(path), model_type="FFM", n_fields=16, n_feats=200,
         n_factors=8, batch_size=32, n_epochs=1, online=True, eval_auc=False,
+        # this test pins the STREAMED dispatch's layout-pin repair (it
+        # monkeypatches _train_step); the cached path dispatches
+        # _gather_train_one instead
+        device_cache="off",
     )
     ref = Trainer(Config(**kw)).train()
 
