@@ -96,6 +96,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mesh_model", type=int, default=1,
                    help="table-sharding mesh axis size")
     p.add_argument("--eval_auc", type=_str2bool, default=True)
+    p.add_argument("--auc_mode", default="binned", choices=("binned", "exact"),
+                   help="AUC estimator: streaming histogram (O(1) memory, "
+                        "error O(1/8192) for spread scores) or exact rank "
+                        "statistic (all eval scores must fit host memory)")
     p.add_argument("--shuffle", type=_str2bool, default=True)
     p.add_argument("--device_cache", default="auto",
                    choices=("auto", "on", "off"),
@@ -111,6 +115,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compress_level", type=int, default=3, help="zstd level")
     p.add_argument("--save_every", type=int, default=0,
                    help="mid-training checkpoint every N steps (0 = end only)")
+    p.add_argument("--async_checkpoint", type=_str2bool, default=True,
+                   help="overlap --save_every checkpoint compression/write "
+                        "with training on a background thread (snapshot is "
+                        "taken inline; writes are crash-atomic either way)")
     p.add_argument("--load_model", default="",
                    help="resume from a full checkpoint (model_path saves one)")
     p.add_argument("--auto_resume", type=_str2bool, default=False,

@@ -115,6 +115,14 @@ class Config:
     #     exactness violation; src/model/ftrl_model.cpp:66-77).
     route_overflow_policy: str = "warn"
     eval_auc: bool = True            # new capability vs reference (log-loss only)
+    # AUC estimator: "binned" = streaming histogram (O(1) memory, error
+    # a-posteriori-bounded by StreamingAUC.error_bound — O(1/AUC_BINS) for
+    # spread-out scores, honest about clustered ones); "exact" = rank
+    # statistic over ALL eval scores collected host-side (the eval set's
+    # scores must fit host memory; needs steps_per_call=1, a single
+    # process, and — if the eval set is device-cached on a mesh — the
+    # replicate layout).
+    auc_mode: str = "binned"         # "binned" | "exact"
     shuffle: bool = True             # offline mode epoch shuffle
     # Device-resident datasets: upload the parsed dataset to HBM once, then
     # run every epoch's batch gather + train steps entirely on device (host
@@ -124,26 +132,44 @@ class Config:
     # "memory" is HBM).  Offline epochs shuffle per `shuffle`; ONLINE train
     # epochs replay the cache in FILE ORDER — identical batches to the
     # streamed single-pass-per-epoch semantics (the reference rewinds and
-    # re-reads the same file each epoch, src/task/ftrl_online.cpp:42-58) —
-    # and --cmd stdin never caches (it cannot be re-read).  Batches are
-    # identical to the streamed path's (ulp-level jit-fusion slack only,
-    # like steps_per_call).  "auto" engages when the dataset
-    # fits the per-device HBM budget next to the model state and update
-    # working set; "on" forces it (OOM risk accepted); "off" disables.
+    # re-reads the same file each epoch, src/task/ftrl_online.cpp:42-58),
+    # including under the shard layout, whose online slices are stored in
+    # stream-interleaved order so per-step global batch composition matches
+    # the streamed sharded feed exactly — and --cmd stdin never caches (it
+    # cannot be re-read).  Batches are identical to the streamed path's
+    # (ulp-level jit-fusion slack only, like steps_per_call).  The cached
+    # dataset is a SNAPSHOT of the file at build time; train_epoch re-stats
+    # the file before each online replay epoch and rebuilds the cache if it
+    # changed (matching the streamed rewind's re-read).  "auto" engages when
+    # the dataset fits the per-device HBM budget next to the model state and
+    # update working set AND (online train) n_epochs > 1 — a single online
+    # pass keeps the overlapped streaming feed, since the blocking build
+    # would never be amortized; "on" forces it (OOM risk accepted, engages
+    # even for one epoch); "off" disables.
     device_cache: str = "auto"       # "auto" | "on" | "off"
     # How the cached dataset is laid out across a sharded mesh:
     #   "replicate" — every device holds the full dataset; batches keep the
     #     streamed path's GLOBAL shuffle semantics (bit-matching batches).
-    #   "shard" — each device holds a contiguous 1/D slice (D = batch-axis
-    #     device count) next to one inert pad row, and shuffles ITS slice
-    #     per epoch — the cached twin of the multi-host streamed semantics
-    #     (each process owns a byte-range slice; train.py::_byte_range),
-    #     with 1/D the HBM footprint.  Steps per epoch become
-    #     ceil(max_slice/b_local), like multi-host lockstep.
+    #   "shard" — each device holds a 1/D slice (D = batch-axis device
+    #     count) next to one inert pad row, with 1/D the HBM footprint.
+    #     OFFLINE: contiguous slices, each shuffled locally per epoch — the
+    #     cached twin of the multi-host streamed semantics (each process
+    #     owns a byte-range slice; train.py::_byte_range).  ONLINE train:
+    #     slices are stored stream-interleaved (device j holds rows
+    #     t*B + j*b_dev .. of the stream) so the file-order replay's global
+    #     batch composition equals the streamed sharded feed exactly.
+    #     Steps per epoch become ceil(max_slice/b_local), like multi-host
+    #     lockstep.
     #   "auto" — replicate when the full dataset fits next to the state,
     #     else shard when a slice fits, else stream.
     device_cache_layout: str = "auto"  # "auto" | "replicate" | "shard"
     save_every: int = 0              # checkpoint every N steps (0 = only at end)
+    # Mid-training (--save_every) checkpoints: snapshot device→host inline
+    # (cheap, and required — the next step donates the state buffers), then
+    # zstd-compress + write + atomic-rename on a background thread while
+    # training continues.  One save in flight at a time; failures re-raise
+    # at the next join.  The final end-of-run save is always synchronous.
+    async_checkpoint: bool = True
     compress_level: int = 3          # zstd level for checkpoints / model export
 
     def __post_init__(self):
@@ -164,6 +190,13 @@ class Config:
             raise ValueError(f"invalid acc_dtype: {self.acc_dtype}")
         if self.device_cache not in ("auto", "on", "off"):
             raise ValueError(f"invalid device_cache: {self.device_cache}")
+        if self.auc_mode not in ("binned", "exact"):
+            raise ValueError(f"invalid auc_mode: {self.auc_mode}")
+        if self.auc_mode == "exact" and self.steps_per_call > 1:
+            raise ValueError(
+                "auc_mode=exact needs per-batch scores (steps_per_call=1); "
+                "the scan-grouped eval reduces to histograms on device"
+            )
         if self.device_cache_layout not in ("auto", "replicate", "shard"):
             raise ValueError(
                 f"invalid device_cache_layout: {self.device_cache_layout}"

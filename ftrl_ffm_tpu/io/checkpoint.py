@@ -20,6 +20,7 @@ Two formats:
 from __future__ import annotations
 
 import json
+import os
 import struct
 
 import jax.numpy as jnp
@@ -128,7 +129,12 @@ def _logical_row_chunks(val, n_shards: int, n_feats: int):
             else:
                 ids = np.arange(a, b)
                 phys = (ids % n_shards) * rl + ids // n_shards
-                yield np.asarray(jnp.take(val, jnp.asarray(phys), axis=0))
+                if isinstance(val, np.ndarray):
+                    # host-snapshot path (async mid-training checkpoints):
+                    # de-interleave in numpy, no device round-trip
+                    yield val[phys]
+                else:
+                    yield np.asarray(jnp.take(val, jnp.asarray(phys), axis=0))
 
     return shape, chunks
 
@@ -166,11 +172,26 @@ def save_checkpoint(
 
     header = json.dumps(meta).encode()
     cctx = zstandard.ZstdCompressor(level=level)
-    with open(path, "wb") as f, cctx.stream_writer(f) as zf:
-        zf.write(MAGIC + struct.pack("<I", len(header)) + header)
-        for chunks in writers:
-            for chunk in chunks():
-                zf.write(np.ascontiguousarray(chunk).tobytes())
+    # crash-atomic: compress into a sibling temp file, fsync, then rename —
+    # a crash mid-write leaves the previous checkpoint intact (at worst a
+    # stray .tmp file), never a truncated checkpoint at `path`
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            with cctx.stream_writer(f, closefd=False) as zf:
+                zf.write(MAGIC + struct.pack("<I", len(header)) + header)
+                for chunks in writers:
+                    for chunk in chunks():
+                        zf.write(np.ascontiguousarray(chunk).tobytes())
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def load_checkpoint(path: str) -> tuple[ModelState, dict]:

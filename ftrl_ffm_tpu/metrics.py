@@ -96,13 +96,36 @@ class StreamingAUC:
         auc_sum = np.sum(self.pos * (cum_neg + 0.5 * self.neg))
         return float(auc_sum / (total_pos * total_neg))
 
+    def error_bound(self) -> float:
+        """A-posteriori bound on |result() − exact AUC|.
+
+        Scores in different buckets are strictly ordered, so cross-bucket
+        (pos, neg) pairs are ranked exactly; a within-bucket pair is scored
+        0.5 by the histogram while its true contribution is in [0, 1], an
+        error of at most 0.5 per pair.  Hence
+            |binned − exact| ≤ 0.5 · Σ_b pos_b·neg_b / (P·N).
+        For scores spread over many buckets this is O(1/n_bins); for
+        adversarial distributions clustered inside one bucket it honestly
+        approaches 0.5 (the histogram then carries no ranking information —
+        use auc_mode="exact").  Tested against exact_auc on adversarial
+        clustered score distributions in tests/test_metrics.py."""
+        total_pos = self.pos.sum()
+        total_neg = self.neg.sum()
+        if total_pos == 0 or total_neg == 0:
+            return float("nan")
+        return float(0.5 * np.sum(self.pos * self.neg) / (total_pos * total_neg))
+
     def reset(self):
         self.pos[:] = 0
         self.neg[:] = 0
 
 
 def exact_auc(scores: np.ndarray, labels: np.ndarray) -> float:
-    """Exact AUC via rank statistic (for tests / small eval sets)."""
+    """Exact AUC via rank statistic.
+
+    CLI-reachable with --auc_mode exact (Trainer.evaluate collects all eval
+    scores host-side); the constraint is that the eval set's scores fit host
+    memory.  Ties get the midrank, matching sklearn's roc_auc_score."""
     scores = np.asarray(scores, np.float64)
     labels = np.asarray(labels)
     order = np.argsort(scores, kind="mergesort")

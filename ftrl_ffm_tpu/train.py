@@ -10,6 +10,7 @@ thread feeding jitted device steps.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from typing import NamedTuple, Optional
@@ -26,6 +27,7 @@ from ftrl_ffm_tpu.metrics import (
     AUC_BINS,
     LossAccumulator,
     StreamingAUC,
+    exact_auc,
     kahan_add,
 )
 from ftrl_ffm_tpu.models import Batch, make_model
@@ -48,6 +50,7 @@ class _DevCache(NamedTuple):
     rows_loc: Optional[int]        # shard: global max slice + 1 (inert row)
     n_real_dev: Optional[object]
     idx_sharding: Optional[object] = None  # multi-process: [B] row sharding
+    src_stat: Optional[tuple] = None  # online train: (size, mtime_ns) at build
 
 
 _cache_enabled = False
@@ -533,6 +536,42 @@ class Trainer:
             logits, batch.y, batch.sample_w, AUC_BINS
         )
         return loss_sum, count, pos, neg, None
+
+    # ---- exact-AUC eval steps (Config.auc_mode="exact") ----
+    def _ensure_exact_eval_steps(self) -> None:
+        """Lazily jit the score-returning eval twins: identical loss math,
+        but per-example logits/labels/weights come back for the host-side
+        exact rank AUC (metrics.exact_auc) instead of device histograms.
+        Logits rank identically to sigmoid scores, so no transform needed."""
+        if hasattr(self, "_eval_scores_step"):
+            return
+        if self._sharded is None:
+
+            def _streamed(state, batch):
+                ls, ct, logits = self.model.eval_step(state, batch)
+                return ls, ct, logits, batch.y, batch.sample_w
+
+            def _cached(state, ds, ix, n_real):
+                b = take_cached(ds, ix, n_real)
+                ls, ct, logits = self.model.eval_step(state, b)
+                return ls, ct, logits, b.y, b.sample_w
+
+        else:
+
+            def _streamed(state, batch):
+                ls, ct, logits, of = self._sharded.eval_step(state, batch)
+                return ls, ct, logits, batch.y, batch.sample_w, of
+
+            def _cached(state, ds, ix, n_real):
+                ls, ct, logits, of = self._sharded.gather_eval_one(
+                    state, ds, ix, n_real
+                )
+                y = jnp.take(ds[3], ix, axis=0)
+                sw = (ix < n_real).astype(jnp.float32)
+                return ls, ct, logits, y, sw, of
+
+        self._eval_scores_step = jax.jit(_streamed)
+        self._gather_eval_scores_one = jax.jit(_cached)
 
     @property
     def logical_state(self) -> ModelState:
@@ -1140,8 +1179,12 @@ class Trainer:
 
         Engaged: file-backed input (never --cmd stdin for train) and (auto)
         the arrays fit per-device HBM next to the state + update working
-        set.  Online TRAIN epochs replay the cache in file order (stream
-        semantics, no shuffle); offline epochs shuffle per Config.  The
+        set; for online TRAIN, auto additionally requires n_epochs > 1
+        (nothing amortizes the blocking build on a single pass).  Online
+        TRAIN epochs replay the cache in file order (stream semantics, no
+        shuffle) — under the shard layout the slices are stored stream-
+        interleaved so global batch composition matches the streamed
+        sharded feed exactly; offline epochs shuffle per Config.  The
         uploaded dataset carries inert pad rows (field 0, feat id =
         n_feats, value 0) that padded permutation indices point at, so a
         gathered batch equals the streamed batch_iterator's padded batches.
@@ -1159,6 +1202,17 @@ class Trainer:
         if cfg.online and role == "train" and cfg.cmd:
             # stdin cannot be re-read (and each epoch may carry new data) —
             # the --cmd stream always trains streamed
+            return None
+        if (
+            cfg.online
+            and role == "train"
+            and cfg.device_cache == "auto"
+            and cfg.n_epochs <= 1
+        ):
+            # single-pass online run: the cache build is a BLOCKING full-file
+            # parse + upload that no replay epoch ever amortizes, while the
+            # streamed feed overlaps parsing with device compute — auto
+            # stays streamed; "on" engages unconditionally
             return None
         if self._sharded is not None and self._spc > 1:
             return None  # scan grouping: the streamed sharded multi covers it
@@ -1186,7 +1240,7 @@ class Trainer:
             self._dev_cache[role] = None
             layout = self._resolve_cache_layout(ds.n) if ds.n > 0 else None
             if layout is not None:
-                self._dev_cache[role] = self._build_device_cache(ds, layout)
+                self._dev_cache[role] = self._build_device_cache(ds, layout, role)
                 # the parsed host copy is dead once the dataset lives in
                 # device memory (the streamed fallback is never used for a
                 # cached role) — free it instead of holding both for the
@@ -1194,7 +1248,42 @@ class Trainer:
                 delattr(self, "_train_ds" if role == "train" else "_eval_ds")
         return self._dev_cache[role]
 
-    def _build_device_cache(self, ds, layout: str):
+    def _fresh_cache(self, role: str):
+        """The role's device cache, rebuilt first if the source file changed
+        since the snapshot was built.  Streamed online re-reads the file
+        every pass (the reference's rewind, pc_task.cpp:15-20), so an online
+        replay must not serve a stale snapshot; offline caches carry no
+        src_stat (the reference loads once at ctor) and pass through."""
+        cache = self._ensure_device_cache(role)
+        if cache is None or cache.src_stat is None:
+            return cache
+        path = self.cfg.train_data if role == "train" else self.cfg.eval_data
+        st = os.stat(path)
+        stale = (st.st_size, st.st_mtime_ns) != cache.src_stat
+        if self._proc_n > 1:
+            # the rebuild allgathers; every process must take the same
+            # branch even if only one host observed the change
+            from jax.experimental import multihost_utils
+
+            stale = bool(
+                np.max(
+                    multihost_utils.process_allgather(
+                        np.asarray(stale, np.int32)
+                    )
+                )
+            )
+        if stale:
+            if self._proc_id == 0:
+                print(
+                    f"WARNING: {role} file changed since the device cache "
+                    "was built — re-reading it (streamed-online rewind "
+                    "semantics)"
+                )
+            del self._dev_cache[role]
+            cache = self._ensure_device_cache(role)
+        return cache
+
+    def _build_device_cache(self, ds, layout: str, role: str = "train"):
         cfg = self.cfg
         f = cfg.max_nnz
         # dataset-level canonical-content markers (the cached twin of
@@ -1230,9 +1319,43 @@ class Trainer:
                     f"of process count ({self._proc_n}) for the shard-"
                     f"layout device cache"
                 )
-            base, rem = divmod(ds.n, d)
-            n_loc = [base + (1 if i < rem else 0) for i in range(d)]
-            offs = np.concatenate([[0], np.cumsum(n_loc)])
+            if cfg.online and role == "train":
+                # FILE-ORDER replay: assign each device the exact rows the
+                # streamed sharded path would hand it (place_batch gives
+                # device j rows [t*B + j*b_dev, t*B + (j+1)*b_dev) of the
+                # stream at step t), so the identity per-slice permutation in
+                # _cached_idx_shard reproduces the streamed global batch
+                # composition EXACTLY — not just the same row set.  Each
+                # device's real rows stay contiguous-in-step order (all steps
+                # but the last contribute a full b_dev), so pad-at-end keeps
+                # alignment
+                bs = self._local_bs
+                b_dev = bs // d
+                if b_dev * d != bs:
+                    raise ValueError(
+                        f"per-process batch ({bs}) must divide over its "
+                        f"batch-axis devices ({d}) for the shard-layout "
+                        f"device cache"
+                    )
+                s_ep = -(-ds.n // bs) if ds.n else 0
+                flat = np.arange(s_ep * bs, dtype=np.int64)
+                per_dev = (
+                    flat.reshape(s_ep, d, b_dev)
+                    .transpose(1, 0, 2)
+                    .reshape(d, -1)
+                )
+                dev_idx = [row[row < ds.n] for row in per_dev]
+            else:
+                # offline: contiguous 1/D slices, shuffled per-slice each
+                # epoch (the cached twin of the multi-host streamed
+                # semantics; NOT the single-process streamed global shuffle)
+                base, rem = divmod(ds.n, d)
+                cnt = [base + (1 if i < rem else 0) for i in range(d)]
+                offs = np.concatenate([[0], np.cumsum(cnt)])
+                dev_idx = [
+                    np.arange(offs[i], offs[i + 1]) for i in range(d)
+                ]
+            n_loc = [len(ix) for ix in dev_idx]
             max_loc = max(n_loc)
             if self._proc_n > 1:
                 max_loc = int(
@@ -1245,11 +1368,12 @@ class Trainer:
             rows_loc = max_loc + 1  # + inert pad row per device
 
             def blocks(arr, pad_row):
-                """local [n, ...] -> [d * rows_loc, ...]: contiguous
-                per-device slices, each padded with inert rows."""
+                """local [n, ...] -> [d * rows_loc, ...]: per-device row
+                selections (contiguous offline / stream-interleaved online),
+                each padded with inert rows."""
                 parts = []
                 for i in range(d):
-                    parts.append(arr[offs[i]: offs[i + 1]])
+                    parts.append(arr[dev_idx[i]])
                     pad = rows_loc - n_loc[i]
                     parts.append(np.repeat(pad_row, pad, axis=0))
                 return np.concatenate(parts)
@@ -1324,8 +1448,20 @@ class Trainer:
                 self._gather_eval_one = jax.jit(
                     self._gather_eval_auc_sharded_impl
                 )
+        src_stat = None
+        if cfg.online:
+            # the cached replay is a SNAPSHOT; streamed online (and the
+            # reference's rewind, pc_task.cpp:15-20) re-reads the file each
+            # pass — record the source identity so _fresh_cache can detect
+            # a changed file and rebuild.  (train+cmd never reaches here;
+            # offline snapshots MATCH the reference, which loads once at
+            # ctor, ftrl_offline.cpp:21-42 — no check needed there.)
+            src_path = cfg.train_data if role == "train" else cfg.eval_data
+            st = os.stat(src_path)
+            src_stat = (st.st_size, st.st_mtime_ns)
         return _DevCache(
-            layout, ds_dev, ds.n, n_loc, rows_loc, n_real_dev, idx_sharding
+            layout, ds_dev, ds.n, n_loc, rows_loc, n_real_dev, idx_sharding,
+            src_stat,
         )
 
     def _device_cache_fits(self, n: int) -> bool:
@@ -1574,9 +1710,13 @@ class Trainer:
                 if step_now // save_every > step_prev // save_every:
                     self._save_mid_checkpoint(step_now)
 
-        cache = self._ensure_device_cache("train")
+        cache = self._fresh_cache("train")
         if cache is not None:
-            return self._train_epoch_cached(cache, epoch_rng, maybe_save)
+            loss = self._train_epoch_cached(cache, epoch_rng, maybe_save)
+            # a checkpoint due within the epoch is durable once the epoch
+            # returns (async writes joined; atomic rename already landed)
+            self._join_pending_checkpoint()
+            return loss
         overflows = []
         if s > 1:
             n_steps = 0
@@ -1605,6 +1745,9 @@ class Trainer:
         # multi-host dynamic narrowings now (lockstep, one allgather, no-op
         # single-process / already-agreed)
         self._agree_dyn("train")
+        # a checkpoint due within the epoch is durable once the epoch
+        # returns (async writes joined; atomic rename already landed)
+        self._join_pending_checkpoint()
         if not sums:
             self._epoch_route_overflow = 0
             return float("nan")
@@ -1817,6 +1960,8 @@ class Trainer:
         the coordinator writes."""
         from ftrl_ffm_tpu.io.checkpoint import model_signature, save_checkpoint
 
+        # serialize behind any in-flight async mid-training save (same path)
+        self._join_pending_checkpoint()
         # always persist the model-defining config: resume/import validates
         # it (validate_header_compat) before shapes can silently reinterpret
         extra = dict(extra or {})
@@ -1844,12 +1989,68 @@ class Trainer:
             n_feats=self.cfg.n_feats,
         )
 
+    def _join_pending_checkpoint(self) -> None:
+        """Wait for the in-flight background checkpoint write (if any) and
+        re-raise its failure loudly — a silently lost --save_every
+        checkpoint would defeat the crash-recovery contract."""
+        t = getattr(self, "_ckpt_thread", None)
+        if t is not None:
+            t.join()
+            self._ckpt_thread = None
+        exc = getattr(self, "_ckpt_exc", None)
+        if exc is not None:
+            self._ckpt_exc = None
+            raise RuntimeError("background checkpoint write failed") from exc
+
     def _save_mid_checkpoint(self, step: int) -> None:
         """Periodic full-state checkpoint (new capability vs the reference,
-        which has no mid-training checkpointing — SURVEY §5)."""
-        self.save_checkpoint(
-            self.cfg.model_path, extra={"mid_training_step": step}
+        which has no mid-training checkpointing — SURVEY §5).
+
+        With cfg.async_checkpoint (default) only the device→host snapshot
+        happens inline — it is both the cheap part and required for
+        correctness, since the next train step DONATES the state buffers —
+        while zstd compression + file write run on a background thread
+        overlapped with training (save_checkpoint's write is tmp+fsync+
+        rename, so a crash mid-write never corrupts the previous
+        checkpoint).  One save in flight at a time: a new save (or the
+        final synchronous one) joins the previous first."""
+        extra = {"mid_training_step": step}
+        if not self.cfg.async_checkpoint:
+            self.save_checkpoint(self.cfg.model_path, extra=extra)
+            return
+        import threading
+
+        from ftrl_ffm_tpu.io.checkpoint import model_signature, save_checkpoint
+
+        self._join_pending_checkpoint()
+        extra["model_config"] = model_signature(self.cfg)
+        self._maybe_sync_lin()
+        state = self.state
+        n_shards = self._sharded.n_shards if self._sharded else 1
+        if self._proc_n > 1 and self._sharded is not None:
+            # every process joins the allgather; only process 0 writes
+            state = self.logical_state
+            n_shards = 1
+        if self._proc_id != 0:
+            return
+        host_state = jax.device_get(state)  # snapshot (donation-safe)
+        path, level, n_feats = (
+            self.cfg.model_path, self.cfg.compress_level, self.cfg.n_feats
         )
+
+        def _write():
+            try:
+                save_checkpoint(
+                    path, host_state, level=level, extra=extra,
+                    n_shards=n_shards, n_feats=n_feats,
+                )
+            except BaseException as e:  # surfaced at the next join
+                self._ckpt_exc = e
+
+        self._ckpt_thread = threading.Thread(
+            target=_write, name="ftrl-ckpt-writer", daemon=True
+        )
+        self._ckpt_thread.start()
 
     def _note_eval_overflow(self, of) -> None:
         """Route-mode eval/predict drop accounting: lazily accumulate the
@@ -1885,6 +2086,20 @@ class Trainer:
     def evaluate(self) -> tuple[float, float]:
         acc = LossAccumulator()
         auc = StreamingAUC(AUC_BINS)
+        # auc_mode="exact": collect per-example (logit, y, w) device rows
+        # and close the rank AUC host-side at pass end — for eval sets whose
+        # scores fit host memory (12 B/example device + host).  binned stays
+        # the O(1)-memory streaming default (error bound:
+        # StreamingAUC.error_bound).
+        exact = self.cfg.eval_auc and self.cfg.auc_mode == "exact"
+        if exact and self._proc_n > 1:
+            raise ValueError(
+                "auc_mode=exact collects all scores on one host — use "
+                "auc_mode=binned on multi-process runs"
+            )
+        if exact:
+            self._ensure_exact_eval_steps()
+        score_rows: list = []
         # Running device-side accumulation: O(1) device buffers and one
         # host readback (retaining per-batch result tuples held ~64 KB of
         # AUC histograms per batch alive for the whole pass).  Compensated
@@ -1894,15 +2109,27 @@ class Trainer:
 
         def add(r):
             nonlocal tot
-            part = tuple(r[:4])
+            if exact:
+                part, rest = tuple(r[:2]), r[2:]
+                score_rows.append(tuple(rest[:3]))
+                of = rest[3] if len(rest) > 3 else None
+            else:
+                part = tuple(r[:4])
+                of = r[4] if len(r) > 4 else None
             if tot is None:
                 tot = (part, tuple(jnp.zeros_like(p) for p in part))
             else:
                 tot = kahan_add(tot[0], tot[1], part)
-            if len(r) > 4:
-                self._note_eval_overflow(r[4])
+            if of is not None:
+                self._note_eval_overflow(of)
 
-        cache = self._ensure_device_cache("eval")
+        cache = self._fresh_cache("eval")
+        if exact and cache is not None and cache.layout == "shard":
+            raise ValueError(
+                "auc_mode=exact needs per-example scores; the shard-layout "
+                "device cache reduces to histograms inside shard_map — use "
+                "--device_cache_layout replicate or --auc_mode binned"
+            )
         if cache is not None:
             ds_dev, n = cache.ds, cache.n
             if cache.layout == "shard":
@@ -1924,11 +2151,14 @@ class Trainer:
                         )
                     )
             else:
+                gather = (
+                    "_gather_eval_scores_one" if exact else "_gather_eval_one"
+                )
                 n_arr = jnp.asarray(n, jnp.int32)
                 for row in self._cached_idx(n, np.arange(n)):
                     add(
                         self._call_step(
-                            "_gather_eval_one", self.state, ds_dev, row, n_arr
+                            gather, self.state, ds_dev, row, n_arr
                         )
                     )
         elif self._spc > 1:
@@ -1936,12 +2166,28 @@ class Trainer:
             for group, _ in self._device_feed_multi(groups, role="eval"):
                 add(self._call_step("_eval_multi", self.state, group))
         else:
+            step = "_eval_scores_step" if exact else "_eval_step"
             for batch in self._device_feed(self._eval_batches(), role="eval"):
-                add(self._call_step("_eval_step", self.state, batch))
+                add(self._call_step(step, self.state, batch))
         self._agree_dyn("eval")
         if tot is None:
             self._flush_eval_overflow("eval")
             return float("nan"), float("nan")
+        if exact:
+            loss_sum, count = jax.device_get(tot[0])
+            lg, yy, ww = jax.device_get(
+                (
+                    jnp.concatenate([r[0] for r in score_rows]),
+                    jnp.concatenate([r[1] for r in score_rows]),
+                    jnp.concatenate([r[2] for r in score_rows]),
+                )
+            )
+            self._flush_eval_overflow("eval")
+            acc.update(loss_sum, count)
+            m = np.asarray(ww) > 0  # drop padding rows
+            return acc.mean, exact_auc(
+                np.asarray(lg)[m], np.asarray(yy)[m] > 0
+            )
         loss_sum, count, pos, neg = jax.device_get(tot[0])
         self._flush_eval_overflow("eval")
         acc.update(loss_sum, count)
@@ -2011,4 +2257,8 @@ class Trainer:
                     )
                 history["eval_loss"].append(eval_loss)
                 history["eval_auc"].append(eval_auc)
+        # don't return with a checkpoint still compressing in the background
+        # (the daemon thread would die with the process); atomic rename makes
+        # even a hard kill safe, but a clean exit must leave the file written
+        self._join_pending_checkpoint()
         return history

@@ -532,3 +532,97 @@ def test_cli_text_model_roundtrip(tmp_path, capsys):
         "--import_reference_text_model", txt,
     ])
     assert rc == 2
+
+
+# ----------------------------------------- async mid-training saves (r5)
+def test_async_mid_checkpoint_matches_sync(tmp_path):
+    """--save_every under async_checkpoint=True (the default) writes the
+    SAME state as the synchronous path — the device→host snapshot happens
+    at the same step, only compression/write is overlapped — and
+    train_epoch does not return before the write is durable (no .tmp
+    leftovers, file loadable immediately)."""
+    import os
+
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = str(tmp_path / "t.ffm")
+    _write_ffm_file(data, n=64, seed=3)
+    cka, cks = str(tmp_path / "a.ckpt"), str(tmp_path / "s.ckpt")
+    base = dict(
+        train_data=data, model_type="FFM", n_fields=N_FIELDS,
+        n_feats=N_FEATS, n_factors=K, batch_size=16, n_epochs=1,
+        save_every=2, device_cache="off",
+    )
+    ta = Trainer(Config(**base, model_path=cka, async_checkpoint=True))
+    ts = Trainer(Config(**base, model_path=cks, async_checkpoint=False))
+    ta.train_epoch()
+    ts.train_epoch()
+    assert not [f for f in os.listdir(tmp_path) if ".tmp." in f]
+    sa, ea = load_checkpoint(cka)
+    ss, es = load_checkpoint(cks)
+    assert ea["mid_training_step"] == es["mid_training_step"] == 4
+    for a, b in zip(sa, ss):
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_write_is_crash_atomic(tmp_path):
+    """A crash between snapshot and rename must leave the previous
+    checkpoint intact: writes land in <path>.tmp.<pid> first (a simulated
+    crash artifact there never affects loading), and a write that fails
+    mid-stream neither truncates the existing checkpoint nor leaves the
+    temp file behind."""
+    import os
+
+    model, state = _trained_state("FFM")
+    path = str(tmp_path / "ckpt.zst")
+    save_checkpoint(path, state, extra={"v": 1})
+    good = open(path, "rb").read()
+
+    # simulated crash artifact from a dead writer process
+    open(path + ".tmp.99999", "wb").write(b"garbage not a checkpoint")
+    loaded, extra = load_checkpoint(path)
+    assert extra == {"v": 1}
+
+    # a failing write must not clobber the previous checkpoint
+    class Boom(Exception):
+        pass
+
+    class _Evil:
+        dtype = np.dtype(np.float32)
+        ndim = 1
+        shape = (3,)
+
+        def __iter__(self):
+            raise Boom()
+
+        def __getitem__(self, k):
+            raise Boom()
+
+    evil = state._replace(lin_w=_Evil())
+    with pytest.raises(Boom):
+        save_checkpoint(path, evil, extra={"v": 2})
+    assert open(path, "rb").read() == good
+    assert not [f for f in os.listdir(tmp_path) if f.endswith(".tmp.%d" % os.getpid())]
+    loaded2, extra2 = load_checkpoint(path)
+    assert extra2 == {"v": 1}
+
+
+def test_async_checkpoint_failure_raises_at_join(tmp_path):
+    """A background write failure must surface loudly at the next join
+    (train_epoch end), not vanish with the thread."""
+    from ftrl_ffm_tpu.train import Trainer
+
+    data = str(tmp_path / "t.ffm")
+    _write_ffm_file(data, n=64, seed=3)
+    # model_path is a DIRECTORY -> open() in the writer thread fails
+    cfg = Config(
+        train_data=data, model_type="FFM", n_fields=N_FIELDS,
+        n_feats=N_FEATS, n_factors=K, batch_size=16, n_epochs=1,
+        save_every=2, model_path=str(tmp_path), device_cache="off",
+    )
+    tr = Trainer(cfg)
+    with pytest.raises(RuntimeError, match="background checkpoint"):
+        tr.train_epoch()

@@ -393,3 +393,100 @@ def test_cached_step_count_and_remainder(tmp_path):
     loss = tr.train_epoch()
     assert np.isfinite(loss)
     assert int(tr.state.step) == 3
+
+
+@pytest.mark.parametrize("mesh_kw", [
+    dict(mesh_model=8, lookup_mode="route"),
+    dict(mesh_model=2),
+])
+def test_online_shard_cached_matches_streamed_multistep(tmp_path, mesh_kw):
+    """ADVICE r04 (medium): online cached train under the SHARD layout must
+    reproduce the streamed global batch composition with d_local > 1 and
+    multiple steps per epoch.  The slices are stored stream-interleaved
+    (device j holds stream rows t*B + j*b_dev ..), so the file-order replay
+    equals the streamed sharded feed exactly — losses AND final state, with
+    an uneven tail (58 samples at B=16 -> 4 steps, partial last batch)."""
+    path = str(tmp_path / "t.ffm")
+    rng = np.random.default_rng(3)
+    with open(path, "w") as f:
+        for _ in range(58):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(c * 10, (c + 1) * 10))}"
+                f":{rng.random() * 0.9 + 0.1:.4f}"
+                for c in range(FIXTURE_FIELDS)
+            ][::-1]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(batch_size=16, online=True, n_epochs=2, **mesh_kw)
+    t_sh = Trainer(
+        _cfg(path, device_cache="on", device_cache_layout="shard", **kw)
+    )
+    t_st = Trainer(_cfg(path, device_cache="off", **kw))
+    h_sh, h_st = t_sh.train(), t_st.train()
+    assert t_sh._dev_cache["train"].layout == "shard"
+    assert t_sh._cache_batch_devs() > 1
+    assert int(t_sh.state.step) > t_sh.cfg.n_epochs  # multi-step epochs
+    np.testing.assert_allclose(
+        h_sh["train_loss"], h_st["train_loss"], rtol=1e-6
+    )
+    _state_equal(t_sh.logical_state, t_st.logical_state)
+    assert int(t_sh.state.step) == int(t_st.state.step)
+
+
+def test_online_auto_single_epoch_stays_streamed(tmp_path):
+    """ADVICE r04: device_cache=auto must NOT engage for a single-pass
+    online train (the blocking build is never amortized by a replay);
+    n_epochs > 1 engages, and device_cache=on engages unconditionally."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    t1 = Trainer(_cfg(train, online=True, n_epochs=1))
+    t1.train()
+    assert t1._dev_cache.get("train", None) is None
+    t2 = Trainer(_cfg(train, online=True, n_epochs=2))
+    t2.train()
+    assert t2._dev_cache.get("train") is not None
+    t3 = Trainer(_cfg(train, online=True, n_epochs=1, device_cache="on"))
+    t3.train()
+    assert t3._dev_cache.get("train") is not None
+
+
+def test_online_cache_rebuilds_when_file_changes(tmp_path):
+    """ADVICE r04: the cached online replay is a snapshot; a file rewritten
+    between epochs must be re-read (the streamed rewind re-reads every
+    epoch, reference pc_task.cpp:15-20) — lockstep loss/state equality with
+    a streamed twin across the rewrite, and the cache entry is rebuilt."""
+    path = str(tmp_path / "t.ffm")
+    write_fixture(path, "libffm", seed=0)
+    kw = dict(online=True, n_epochs=2, device_cache="on")
+    t_on = Trainer(_cfg(path, **kw))
+    t_off = Trainer(_cfg(path, online=True, n_epochs=2, device_cache="off"))
+    rng_on, rng_off = np.random.default_rng(0), np.random.default_rng(0)
+    l_on1 = t_on.train_epoch(rng_on)
+    l_off1 = t_off.train_epoch(rng_off)
+    first = t_on._dev_cache["train"]
+    write_fixture(path, "libffm", seed=5)  # new content, same path
+    l_on2 = t_on.train_epoch(rng_on)
+    l_off2 = t_off.train_epoch(rng_off)
+    assert t_on._dev_cache["train"] is not first  # rebuilt, not replayed
+    np.testing.assert_allclose(
+        [l_on1, l_on2], [l_off1, l_off2], rtol=1e-6
+    )
+    _state_equal(t_on.state, t_off.state)
+
+
+def test_online_eval_cache_rebuilds_when_file_changes(tmp_path):
+    """Online eval re-reads its file every epoch too (the reference's
+    Evaluator rewinds, ftrl_online.cpp:60-67): a rewritten eval file must
+    be re-read by the cached eval, matching a streamed twin's metrics."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    evalp = str(tmp_path / "e.ffm")
+    write_fixture(evalp, "libffm", seed=1)
+    t_on = Trainer(_cfg(train, evalp, online=True, device_cache="on"))
+    t_off = Trainer(_cfg(train, evalp, online=True, device_cache="off"))
+    rng_on, rng_off = np.random.default_rng(0), np.random.default_rng(0)
+    t_on.train_epoch(rng_on)
+    t_off.train_epoch(rng_off)
+    m_on1, m_off1 = t_on.evaluate(), t_off.evaluate()
+    write_fixture(evalp, "libffm", seed=9)
+    m_on2, m_off2 = t_on.evaluate(), t_off.evaluate()
+    np.testing.assert_allclose(m_on1, m_off1, rtol=1e-6)
+    np.testing.assert_allclose(m_on2, m_off2, rtol=1e-6)
+    assert abs(m_on1[0] - m_on2[0]) > 0  # the new file actually differs

@@ -137,3 +137,116 @@ def test_train_epoch_pass_level_f64_accumulation():
     assert abs(f32_chain - exact) > 1000.0  # the drift
     # the path train_epoch now takes: host f64 over the stacked step sums
     assert abs(float(np.sum(vals, dtype=np.float64)) - exact) == 0.0
+
+
+def test_binned_auc_error_bound_adversarial():
+    """VERDICT r04 #5: the histogram AUC's a-posteriori bound
+    (StreamingAUC.error_bound: 0.5·Σ pos_b·neg_b / (P·N) — only within-bin
+    pairs can be mis-ranked, by at most 0.5 each) must hold on adversarial
+    score distributions clustered near the threshold, where the histogram
+    genuinely loses ranking information, and must be tiny on spread-out
+    scores."""
+    from ftrl_ffm_tpu.metrics import AUC_BINS
+
+    rng = np.random.default_rng(0)
+    n = 4096
+
+    def run(scores, labels):
+        auc = StreamingAUC(AUC_BINS)
+        logits = np.log(scores / (1.0 - scores))
+        pos, neg = StreamingAUC.bucket_counts(
+            jnp.asarray(logits, jnp.float32),
+            jnp.asarray(labels, jnp.float32),
+            jnp.ones(len(scores), jnp.float32),
+            AUC_BINS,
+        )
+        auc.update(pos, neg)
+        return auc.result(), auc.error_bound(), exact_auc(scores, labels)
+
+    # Adversarial: perfectly separable but everything inside ~1 bucket
+    # around 0.5 — binned collapses toward 0.5; the bound must admit it.
+    labels = (rng.random(n) < 0.5).astype(np.float32)
+    eps = 1.0 / AUC_BINS / 16.0
+    center = (AUC_BINS // 2 + 0.5) / AUC_BINS  # mid-bucket, not a bucket edge
+    scores = center + (labels - 0.5) * eps  # pos slightly above, neg below
+    binned, bound, exact = run(scores, labels)
+    assert exact == 1.0
+    assert abs(binned - exact) > 0.2      # the histogram really is blind here
+    assert abs(binned - exact) <= bound + 1e-12
+    assert bound >= 0.2                   # the bound honestly reports it
+
+    # Clustered in a couple of buckets with noise: still within the bound.
+    scores2 = np.clip(
+        0.5 + (labels - 0.5) * eps + rng.normal(0, 4 * eps, n), 1e-6, 1 - 1e-6
+    )
+    binned2, bound2, exact2 = run(scores2, labels)
+    assert abs(binned2 - exact2) <= bound2 + 1e-12
+
+    # Spread-out scores: bound collapses to O(1/AUC_BINS) and the binned
+    # estimate is accordingly tight.
+    scores3 = np.clip(rng.random(n), 1e-6, 1 - 1e-6)
+    labels3 = (rng.random(n) < scores3).astype(np.float32)
+    binned3, bound3, exact3 = run(scores3, labels3)
+    assert bound3 <= 2.0 / AUC_BINS
+    assert abs(binned3 - exact3) <= bound3 + 1e-12
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(online=True, device_cache="off"),            # streamed
+        dict(online=False, device_cache="on"),            # cached gather
+        dict(online=True, device_cache="off", mesh_model=2),   # sharded
+        dict(online=False, device_cache="on", mesh_model=8,
+             lookup_mode="route",
+             device_cache_layout="replicate"),            # sharded + cached
+    ],
+)
+def test_auc_mode_exact_end_to_end(tmp_path, kw):
+    """--auc_mode exact (VERDICT r04 #5): Trainer.evaluate computes the
+    exact rank AUC — it must (a) match exact_auc on the model's own scores
+    and (b) sit within the binned twin's a-posteriori error bound; eval
+    loss is identical in both modes (same math, different AUC path)."""
+    from ftrl_ffm_tpu.config import Config
+    from ftrl_ffm_tpu.train import Trainer
+
+    rng = np.random.default_rng(4)
+    tr_path, ev_path = str(tmp_path / "t.ffm"), str(tmp_path / "e.ffm")
+    for path, seed in ((tr_path, 0), (ev_path, 1)):
+        r = np.random.default_rng(seed)
+        with open(path, "w") as f:
+            for _ in range(64):
+                toks = [str(int(r.random() > 0.5))] + [
+                    f"{c}:{int(r.integers(c * 10, (c + 1) * 10))}:1"
+                    for c in range(4)
+                ]
+                f.write(" ".join(toks) + "\n")
+    base = dict(
+        train_data=tr_path, eval_data=ev_path, model_type="FFM",
+        n_fields=4, n_feats=40, n_factors=4, n_epochs=2, batch_size=16,
+        w_alpha=0.05, w_l1=0.15, w_l2=1.0, **kw,
+    )
+    t_ex = Trainer(Config(**base, auc_mode="exact"))
+    t_bin = Trainer(Config(**base, auc_mode="binned"))
+    h_ex, h_bin = t_ex.train(), t_bin.train()
+    np.testing.assert_allclose(h_ex["eval_loss"], h_bin["eval_loss"], rtol=1e-6)
+    # the exact value differs from binned by at most the histogram's bound
+    # (loose check; the tight oracle check is below)
+    for a, b in zip(h_ex["eval_auc"], h_bin["eval_auc"]):
+        assert 0.0 <= a <= 1.0 and abs(a - b) < 0.05
+    # oracle: score the eval file with the SAME state and compare ranks
+    out = str(tmp_path / "preds.txt")
+    t_ex.predict_file(ev_path, out)
+    scores = np.loadtxt(out)
+    labels = np.array(
+        [int(ln.split()[0]) > 0 for ln in open(ev_path)], np.float32
+    )
+    want = exact_auc(scores, labels)
+    assert h_ex["eval_auc"][-1] == pytest.approx(want, abs=1e-6)
+
+
+def test_auc_mode_exact_rejects_scan_grouping():
+    from ftrl_ffm_tpu.config import Config
+
+    with pytest.raises(ValueError, match="auc_mode=exact"):
+        Config(model_type="LR", auc_mode="exact", steps_per_call=4)
