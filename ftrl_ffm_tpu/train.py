@@ -316,8 +316,40 @@ class Trainer:
                     else {}
                 ),
             )
+            self._gather_train_one_iota = jax.jit(
+                self._gather_train_one_iota_impl,
+                donate_argnums=0,
+                **(
+                    {
+                        "in_shardings": (fmt, auto, auto, auto),
+                        "out_shardings": (fmt, auto, auto),
+                    }
+                    if fmt is not None
+                    else {}
+                ),
+            )
+            self._gather_train_unroll = jax.jit(
+                self._gather_train_unroll_impl,
+                donate_argnums=0,
+                **(
+                    {
+                        "in_shardings": (fmt, auto, auto, auto),
+                        "out_shardings": (fmt, auto, auto),
+                    }
+                    if fmt is not None
+                    else {}
+                ),
+            )
             self._gather_eval_one = jax.jit(
                 self._gather_eval_one_impl,
+                **(
+                    {"in_shardings": (fmt, auto, auto, auto)}
+                    if fmt is not None
+                    else {}
+                ),
+            )
+            self._gather_eval_one_iota = jax.jit(
+                self._gather_eval_one_iota_impl,
                 **(
                     {"in_shardings": (fmt, auto, auto, auto)}
                     if fmt is not None
@@ -405,6 +437,13 @@ class Trainer:
             self._gather_train_one_impl, donate_argnums=0
         )
         self._gather_eval_one = jax.jit(self._gather_eval_one_impl)
+        self._gather_train_one_iota = jax.jit(
+            self._gather_train_one_iota_impl, donate_argnums=0
+        )
+        self._gather_eval_one_iota = jax.jit(self._gather_eval_one_iota_impl)
+        self._gather_train_unroll = jax.jit(
+            self._gather_train_unroll_impl, donate_argnums=0
+        )
         if hasattr(self, "_eval_plain_jit"):
             del self._eval_plain_jit
 
@@ -473,6 +512,48 @@ class Trainer:
         behind the device step."""
         out = self.model.train_step(state, take_cached(ds, ix, n_real))
         return out.state, out.loss_sum, out.count
+
+    def _iota_rows(self, step_ix, n_real):
+        """[B] index row for file-order replay, generated ON DEVICE from a
+        scalar step index: ix = step*B + iota, tail clamped to the inert pad
+        row (== _cached_idx's padding).  Replaces the per-step [B] int32
+        upload for identity-order cached passes — 4 bytes/step instead of
+        4·B through the host→device link.  (Unlike the rejected [S, B]
+        device index table, there is nothing to dynamic-slice: the row is
+        fused into the gather's index computation.)"""
+        ix = step_ix * self._local_bs + jnp.arange(
+            self._local_bs, dtype=jnp.int32
+        )
+        return jnp.where(ix < n_real, ix, n_real)
+
+    def _gather_train_one_iota_impl(self, state: ModelState, ds, step_ix, n_real):
+        """File-order replay train step (online cached epochs): the
+        identity permutation needs no host-built index row — see
+        _iota_rows."""
+        ix = self._iota_rows(step_ix, n_real)
+        out = self.model.train_step(state, take_cached(ds, ix, n_real))
+        return out.state, out.loss_sum, out.count
+
+    def _gather_train_unroll_impl(self, state: ModelState, ds, step0, n_real):
+        """U file-order replay steps UNROLLED in one dispatch (not a scan:
+        loop-carried tables under lax.scan ping-pong instead of updating in
+        place — the measured dead end).  Amortizes per-dispatch relay
+        latency over U steps; the epoch tail uses single-step dispatches."""
+        ls_l, ct_l = [], []
+        for k in range(self._iota_unroll):
+            ix = self._iota_rows(step0 + k, n_real)
+            out = self.model.train_step(state, take_cached(ds, ix, n_real))
+            state = out.state
+            ls_l.append(out.loss_sum)
+            ct_l.append(out.count)
+        return state, jnp.stack(ls_l), jnp.stack(ct_l)
+
+    def _gather_eval_one_iota_impl(self, state: ModelState, ds, step_ix, n_real):
+        ix = self._iota_rows(step_ix, n_real)
+        b = take_cached(ds, ix, n_real)
+        ls, ct, logits = self.model.eval_step(state, b)
+        pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
+        return ls, ct, pos, neg
 
     def _gather_eval_one_impl(self, state: ModelState, ds, ix, n_real):
         b = take_cached(ds, ix, n_real)
@@ -1589,6 +1670,49 @@ class Trainer:
                     overflows.append(out.route_overflow)
                 prev, done = done, done + 1
                 maybe_save(self._steps_done + done, self._steps_done + prev)
+        elif not shuffle and os.environ.get("FTRL_IOTA_REPLAY", "1") != "0":
+            # file-order replay (online cached epochs): the identity
+            # permutation's rows are generated on device from a scalar step
+            # index (_iota_rows) — no [B] upload at all.  Full groups of U
+            # steps go out unrolled in one dispatch (FTRL_IOTA_UNROLL,
+            # default 1); the tail uses single-step dispatches.
+            n_steps = -(-n // self._local_bs)
+            u = self._iota_unroll = max(
+                1, int(os.environ.get("FTRL_IOTA_UNROLL", "1"))
+            )
+            s_i = 0
+            tail = []
+            while s_i < n_steps:
+                if u > 1 and s_i + u <= n_steps:
+                    self.state, ls, ct = self._call_step(
+                        "_gather_train_unroll",
+                        self.state,
+                        ds_dev,
+                        np.int32(s_i),
+                        n_arr,
+                    )
+                    sums.append((ls, ct))  # [U] vectors
+                    step = u
+                else:
+                    self.state, ls, ct = self._call_step(
+                        "_gather_train_one_iota",
+                        self.state,
+                        ds_dev,
+                        np.int32(s_i),
+                        n_arr,
+                    )
+                    (sums if u == 1 else tail).append((ls, ct))
+                    step = 1
+                prev, done = done, done + step
+                s_i += step
+                maybe_save(self._steps_done + done, self._steps_done + prev)
+            if tail:  # mixed scalar/vector sums: vectorize the tail once
+                sums.append(
+                    (
+                        jnp.stack([s for s, _ in tail]),
+                        jnp.stack([c for _, c in tail]),
+                    )
+                )
         else:
             # one donated dispatch per step, [B] index row uploaded per
             # dispatch — see _gather_train_one_impl for why neither the
@@ -2148,6 +2272,23 @@ class Trainer:
                     add(
                         self._call_step(
                             "_gather_eval_multi", self.state, ds_dev, part, n_arr
+                        )
+                    )
+            elif (
+                not exact
+                and self._sharded is None
+                and os.environ.get("FTRL_IOTA_REPLAY", "1") != "0"
+            ):
+                # eval is always identity-order: device-generated iota rows
+                n_arr = jnp.asarray(n, jnp.int32)
+                for s_i in range(-(-n // self._local_bs)):
+                    add(
+                        self._call_step(
+                            "_gather_eval_one_iota",
+                            self.state,
+                            ds_dev,
+                            np.int32(s_i),
+                            n_arr,
                         )
                     )
             else:
