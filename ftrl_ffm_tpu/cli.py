@@ -112,6 +112,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "per device (global shuffle, bit-matching batches) "
                         "or shard 1/D per device (per-slice shuffle, the "
                         "multi-host streamed semantics, 1/D the HBM)")
+    p.add_argument("--feed_workers", type=int, default=1,
+                   help="device-feed threads; >1 interleaves whole batches "
+                        "(compact+upload) across threads with a reorder "
+                        "buffer — update order unchanged (multi-host pins 1)")
     p.add_argument("--compress_level", type=int, default=3, help="zstd level")
     p.add_argument("--save_every", type=int, default=0,
                    help="mid-training checkpoint every N steps (0 = end only)")

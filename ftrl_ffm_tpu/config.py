@@ -163,6 +163,15 @@ class Config:
     #   "auto" — replicate when the full dataset fits next to the state,
     #     else shard when a slice fits, else stream.
     device_cache_layout: str = "auto"  # "auto" | "replicate" | "shard"
+    # Device-feed threads.  1 = the single background uploader thread
+    # (train.py::_feed).  >1 = order-preserving interleaved feeders: each
+    # thread runs the FULL compact+upload for alternating whole batches —
+    # no per-batch stage handoff (the compact/upload pipeline split was
+    # measured WORSE, see train.py::_device_feed) — with a reorder buffer
+    # so the consumer still sees stream order (FTRL update order is
+    # semantics).  Multi-host always pins 1: the dynamic-narrowing
+    # observation protocol needs strictly ordered per-batch observation.
+    feed_workers: int = 1
     save_every: int = 0              # checkpoint every N steps (0 = only at end)
     # Mid-training (--save_every) checkpoints: snapshot device→host inline
     # (cheap, and required — the next step donates the state buffers), then
@@ -203,6 +212,8 @@ class Config:
             )
         if self.lookup_mode not in ("auto", "replicate", "route"):
             raise ValueError(f"invalid lookup_mode: {self.lookup_mode}")
+        if self.feed_workers < 1:
+            raise ValueError(f"invalid feed_workers: {self.feed_workers}")
         if self.route_overflow_policy not in ("warn", "error"):
             raise ValueError(
                 f"invalid route_overflow_policy: {self.route_overflow_policy}"

@@ -692,6 +692,16 @@ class Trainer:
             self.state = self.model.sync_lin_from_mirror(self.state)
 
     # ---- batch plumbing ----
+    def _feed_worker_count(self) -> int:
+        """Resolved feeder thread count (Config.feed_workers).
+
+        Multi-host pins 1: the dynamic-narrowing observation/agreement
+        protocol (_observe_dyn/_agree_dyn) assumes strictly ordered
+        per-batch observation on each process."""
+        if self._proc_n > 1:
+            return 1
+        return max(1, min(4, self.cfg.feed_workers))
+
     def _feed(self, items_iter, place):
         """Background-thread device upload: host->HBM transfers overlap the
         previous step's compute (the device-feed analogue of the reference's
@@ -703,6 +713,11 @@ class Trainer:
         import queue as _queue
         import sys as _sys
         import threading as _threading
+
+        workers = self._feed_worker_count()
+        if workers > 1:
+            yield from self._feed_interleaved(items_iter, place, workers)
+            return
 
         q: _queue.Queue = _queue.Queue(maxsize=3)
         err: list[BaseException] = []
@@ -743,10 +758,110 @@ class Trainer:
         if err:
             raise err[0]
 
+    def _feed_interleaved(self, items_iter, place, workers: int):
+        """Order-preserving interleaved feeders: `workers` threads each run
+        the FULL place() (compact + upload) for alternating batches, with a
+        reorder buffer so the consumer still sees stream order (FTRL update
+        order is semantics).  Unlike the rejected stage-split design (one
+        compact thread piping into one upload thread — LR 527k -> 359k,
+        see _device_feed), there is no per-batch handoff between threads:
+        each batch crosses threads exactly once, and the GIL-released legs
+        (native compact_batch, device transfer) genuinely overlap.
+
+        Shared-state note: place() may flip the _delta_ok hysteresis.  Out
+        of order that can interleave delta/non-delta encodings around the
+        flip boundary (at most one extra jit aval per leaf) — encodings are
+        lossless, so numerics are unchanged."""
+        import sys as _sys
+        import threading as _threading
+
+        cond = _threading.Condition()
+        buf: dict[int, object] = {}
+        seq = [0]            # next ticket to hand out (guarded by cond)
+        total = [None]       # item count once items_iter is exhausted
+        next_out = [0]       # next index the consumer will yield
+        err: list[BaseException] = []
+        stopped = _threading.Event()
+        finalizing = _sys.is_finalizing
+        MAX_AHEAD = 3        # placed batches held beyond the consumer
+
+        def worker():
+            while not stopped.is_set():
+                with cond:
+                    if total[0] is not None or err:
+                        return
+                    try:
+                        item = next(items_iter)
+                    except StopIteration:
+                        total[0] = seq[0]
+                        cond.notify_all()
+                        return
+                    except BaseException as e:
+                        err.append(e)
+                        cond.notify_all()
+                        return
+                    i = seq[0]
+                    seq[0] += 1
+                    # bound host+device memory: don't run ahead of the
+                    # consumer (i == next_out is always allowed, so the
+                    # batch the consumer waits for can't deadlock)
+                    while (
+                        i - next_out[0] > MAX_AHEAD
+                        and not stopped.is_set()
+                        and not err
+                    ):
+                        cond.wait(0.2)
+                    if stopped.is_set() or err:
+                        return
+                try:
+                    placed = place(item)
+                except BaseException as e:
+                    with cond:
+                        err.append(e)
+                        cond.notify_all()
+                    return
+                with cond:
+                    buf[i] = placed
+                    cond.notify_all()
+
+        threads = [
+            _threading.Thread(target=worker, daemon=True)
+            for _ in range(workers)
+        ]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                with cond:
+                    while (
+                        next_out[0] not in buf
+                        and not err
+                        and (total[0] is None or next_out[0] < total[0])
+                    ):
+                        cond.wait(0.2)
+                    if err or next_out[0] not in buf:
+                        break
+                    b = buf.pop(next_out[0])
+                    next_out[0] += 1
+                    cond.notify_all()
+                yield b
+        finally:
+            stopped.set()
+            with cond:
+                cond.notify_all()
+            if not finalizing():
+                for t in threads:
+                    t.join(timeout=30)
+            buf.clear()
+        if err:
+            raise err[0]
+
     def _device_feed(self, arrays_iter, role: str = "train"):
-        # single upload stage: splitting compact and device_put into two
-        # pipelined threads was measured WORSE on this 4-core host (LR 527k
-        # -> 359k ex/s — GIL/context-switch overhead beats the overlap win)
+        # single upload stage by default: splitting compact and device_put
+        # into two pipelined threads was measured WORSE on this 4-core host
+        # (LR 527k -> 359k ex/s — GIL/context-switch overhead beats the
+        # overlap win).  feed_workers > 1 takes the interleaved form
+        # (_feed_interleaved) instead: whole-batch alternation, no handoff.
         return self._feed(arrays_iter, lambda a: self._device_batch(a, role))
 
     def _device_feed_multi(self, groups_iter, role: str = "train"):

@@ -726,3 +726,66 @@ def test_fields_iota_marker_sharded(tmp_path):
             hist["train_loss"], ref["train_loss"], rtol=2e-5,
             err_msg=f"mesh {mesh}",
         )
+
+
+# ---- interleaved feeder (feed_workers > 1) ----
+
+
+def test_feed_interleaved_preserves_order_and_results(tmp_path):
+    """feed_workers=2 must produce the bit-identical training run: the
+    reorder buffer preserves stream order, so FTRL update order — and
+    therefore every loss and weight — is unchanged."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    evalp = write_fixture(tmp_path / "eval.ffm", "libffm", seed=1)
+    runs = []
+    for workers in (1, 2):
+        tr = Trainer(_cfg(train, evalp, True, n_epochs=2,
+                          device_cache="off", feed_workers=workers))
+        hist = tr.train()
+        _, lin_w, vec_w = tr.model.materialize_weights(tr.state)
+        runs.append((hist["train_loss"], np.asarray(lin_w),
+                     None if vec_w is None else np.asarray(vec_w)))
+    (l1, w1, v1), (l2, w2, v2) = runs
+    assert l1 == l2
+    np.testing.assert_array_equal(w1, w2)
+    if v1 is not None:
+        np.testing.assert_array_equal(v1, v2)
+
+
+def test_feed_interleaved_ordering_stress():
+    """Drive _feed_interleaved directly with a jittery place() over many
+    items: output must be exactly the input order, each item placed once."""
+    import random
+    import time as _time
+
+    from ftrl_ffm_tpu.train import Trainer as _T
+
+    class Dummy:
+        _proc_n = 1
+
+        class cfg:
+            feed_workers = 3
+
+    rng = random.Random(0)
+
+    def place(i):
+        _time.sleep(rng.random() * 0.002)
+        return i * 10
+
+    out = list(_T._feed_interleaved(Dummy(), iter(range(200)), place, 3))
+    assert out == [i * 10 for i in range(200)]
+
+
+def test_feed_interleaved_propagates_errors():
+    from ftrl_ffm_tpu.train import Trainer as _T
+
+    class Dummy:
+        _proc_n = 1
+
+    def place(i):
+        if i == 5:
+            raise RuntimeError("boom in place")
+        return i
+
+    with pytest.raises(RuntimeError, match="boom in place"):
+        list(_T._feed_interleaved(Dummy(), iter(range(50)), place, 2))

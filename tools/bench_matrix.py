@@ -25,8 +25,8 @@ rows (default: ffm fm lr):
              off the canonical path show here.  (Fractional sample weights
              cannot occur on file-driven runs — the libsvm/libffm formats
              carry no weight column, so sample_w is always {0, 1}.)
-Env: ROWS_SAMPLES (400000), ACC_DTYPE, TABLE_DTYPE, DEVICE_CACHE forwarded
-to Config.
+Env: ROWS_SAMPLES (400000), ACC_DTYPE, TABLE_DTYPE, DEVICE_CACHE,
+FEED_WORKERS forwarded to Config.
 """
 
 from __future__ import annotations
@@ -165,6 +165,7 @@ def run_row(row: str) -> dict:
         # offline row: auto engages the device-resident dataset when it fits
         # next to the state; DEVICE_CACHE=off measures the streamed feed
         device_cache=os.environ.get("DEVICE_CACHE", "auto"),
+        feed_workers=int(os.environ.get("FEED_WORKERS", "1")),
     )
     if kw["model_type"] == "FFM":
         kw["file_type"] = "libffm"
