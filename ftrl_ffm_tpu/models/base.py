@@ -46,6 +46,16 @@ class Batch(NamedTuple):
     delta-encode feats: when feats_base is set, feats holds uint16 deltas
     against per-column bases feats_base[:F], with delta 65535 reserved for
     the padding sentinel feats_base[F].  widen_batch decodes on device.
+    When the per-column delta encoding fails (ids spread past uint16 —
+    shuffled-token-order data), feats may instead ride the SPLIT tier:
+    feats holds the ids' low 16 bits (uint16) and feats_base (uint8,
+    [B, k, ceil(F/8)]) holds the high k = bit_length(n_feats) - 16 bits as
+    MSB-first bit-packed bitplanes (plane i = bit 16+i of the id) — 2.03
+    instead of 4 bytes/id at Criteo's 100k ids (k=1), lossless for any
+    n_feats < 2^24, and static per run (the tier depends only on
+    cfg.n_feats, so the jit cache stays bounded).  Non-sharded runs only
+    (the sharded batch pspecs pin feats_base replicated; the split plane
+    is per-sample).
     Three zero-size markers cut upload bytes further: fields may be [B, 0]
     (LR/FM never read field ids), fields may be [0, F] (every row's fields
     are exactly 0..F-1 — one feature per field in slot order, the canonical
@@ -103,13 +113,29 @@ def widen_batch(b: Batch) -> Batch:
     (Config.compact_transfer); widening on device is free (fused casts +
     one [B, F] add).  No-op for already-canonical batches."""
     feats = b.feats.astype(jnp.int32)
-    # decode keys off the (trace-static) dtype: uint16 feats are deltas; a
+    # decode keys off the (trace-static) dtype: uint16 feats are deltas
+    # (int32 feats_base) or split-tier low halves (uint8 feats_base); a
     # feats_base rides along even when unused (sharded pytrees need a stable
     # structure) and is ignored for int32 feats
     if b.feats_base is not None and b.feats.dtype == jnp.uint16:
-        base = b.feats_base[..., :-1]   # [F] per-column id base
-        sent = b.feats_base[..., -1:]   # [1] the padding sentinel (n_feats)
-        feats = jnp.where(feats == 65535, sent, base + feats)
+        if b.feats_base.dtype == jnp.uint8:
+            # split tier: feats = id & 0xFFFF; feats_base [..., k, P] holds
+            # bit 16+i of each id, MSB-first-packed along F (np.packbits)
+            f = b.feats.shape[-1]
+            k = b.feats_base.shape[-2]
+            j = jnp.arange(f)
+            byte = jnp.take(
+                b.feats_base.astype(jnp.int32), j // 8, axis=-1
+            )  # [..., k, F]
+            bits = (byte >> (7 - (j % 8))) & 1
+            hi = jnp.sum(
+                bits << (16 + jnp.arange(k))[..., None], axis=-2
+            ) if k else 0
+            feats = feats + hi
+        else:
+            base = b.feats_base[..., :-1]   # [F] per-column id base
+            sent = b.feats_base[..., -1:]   # [1] the padding sentinel
+            feats = jnp.where(feats == 65535, sent, base + feats)
     # zero-width vals = the all-ones full-batch marker (shape is
     # trace-static, so this costs nothing per step)
     vals = (

@@ -1017,6 +1017,34 @@ class Trainer:
                 )
         return (fields_c, feats, vals_c, y_c, sw_c, feats_base)
 
+    def _split_feats(self, feats):
+        """SPLIT transfer tier for delta-refusing ids (models/base.py::Batch):
+        (lo uint16, hi-bitplanes uint8 [..., k, ceil(F/8)]) with
+        k = bit_length(n_feats) - 16, or None when out of scope.  Lossless
+        for ids <= n_feats < 2^24 (the padding sentinel n_feats included) —
+        2.03 B/id at Criteo's 100k ids vs 4 B/id int32.  Static per run
+        (depends only on cfg.n_feats): at most one extra jit aval.
+        Non-sharded runs only — the sharded batch pspecs pin feats_base
+        replicated, and the hi plane is per-sample."""
+        if self._sharded is not None or not feats.shape[-1]:
+            return None
+        w = int(self.cfg.n_feats).bit_length()
+        if w > 24:
+            return None
+        k = max(0, w - 16)
+        lo = (feats & 0xFFFF).astype(np.uint16)
+        if k:
+            hi = (feats >> 16).astype(np.uint8)
+            planes = np.stack(
+                [(hi >> i) & 1 for i in range(k)], axis=-2
+            )  # [..., k, F]
+            hi_packed = np.packbits(planes, axis=-1)
+        else:
+            hi_packed = np.zeros(
+                (*feats.shape[:-1], 0, (feats.shape[-1] + 7) // 8), np.uint8
+            )
+        return lo, hi_packed
+
     def _compact(self, arrays, role: str = "train"):
         """Narrow upload dtypes (see Config.compact_transfer); the jitted
         steps widen on device (models/base.py::widen_batch).
@@ -1135,6 +1163,10 @@ class Trainer:
             sw_i8 = sample_w.astype(np.int8)
             if not np.array_equal(sw_i8.astype(np.float32), sample_w):
                 sw_i8 = sample_w  # fractional sample weights: keep f32
+            if feats_base is None and feats.dtype == np.int32:
+                split = self._split_feats(feats)
+                if split is not None:
+                    feats, feats_base = split
             return (
                 fields_c,
                 feats,
@@ -1217,6 +1249,10 @@ class Trainer:
             sw_i8 = sample_w.astype(np.int8)
             if not np.array_equal(sw_i8.astype(np.float32), sample_w):
                 sw_i8 = sample_w  # fractional sample weights: keep f32
+        if dynamic_ok and feats_base is None and feats.dtype == np.int32:
+            split = self._split_feats(feats)
+            if split is not None:
+                feats, feats_base = split
         return (
             fields_c,
             feats,

@@ -789,3 +789,93 @@ def test_feed_interleaved_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom in place"):
         list(_T._feed_interleaved(Dummy(), iter(range(50)), place, 2))
+
+
+# ---- SPLIT feats transfer tier (delta-refusing ids; VERDICT r04 #6) ----
+
+
+def _widen_np(fields, feats, vals, y, sw, base):
+    from ftrl_ffm_tpu.models.base import Batch, widen_batch
+    import jax.numpy as jnp
+
+    b = Batch(*(None if a is None else jnp.asarray(a)
+                for a in (fields, feats, vals, y, sw, base)))
+    return np.asarray(widen_batch(b).feats)
+
+
+@pytest.mark.parametrize(
+    "n_feats", [60_000, 100_000, 131_071, 10_000_000, 16_777_215]
+)
+def test_split_feats_roundtrip(tmp_path, n_feats):
+    """lo-u16 + hi-bitplane encode/decode is exact for ids <= n_feats
+    (sentinel included) across the k = 0..8 tier widths."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, n_feats=n_feats))
+    rng = np.random.default_rng(1)
+    feats = rng.integers(0, n_feats + 1, (32, 13)).astype(np.int32)
+    feats[-1, -5:] = n_feats  # padding sentinel rides the same encoding
+    lo, hi = tr._split_feats(feats)
+    assert lo.dtype == np.uint16
+    k = max(0, int(n_feats).bit_length() - 16)
+    assert hi.shape == (32, k, (13 + 7) // 8) and hi.dtype == np.uint8
+    got = _widen_np(np.zeros((32, 13), np.int8), lo,
+                    np.ones((32, 13), np.float32),
+                    np.zeros(32, np.float32), np.ones(32, np.float32), hi)
+    np.testing.assert_array_equal(got, feats)
+
+
+def test_split_feats_scan_group_3d(tmp_path):
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, n_feats=100_000))
+    rng = np.random.default_rng(2)
+    feats = rng.integers(0, 100_001, (3, 8, 11)).astype(np.int32)
+    lo, hi = tr._split_feats(feats)
+    assert lo.shape == (3, 8, 11) and hi.shape == (3, 1, 2)[:1] + hi.shape[1:]
+    assert hi.shape == (3, 8, 1, 2)[0:1] + hi.shape[1:]  # leading S kept
+    got = _widen_np(np.zeros((3, 8, 11), np.int8), lo,
+                    np.ones((3, 8, 11), np.float32),
+                    np.zeros((3, 8), np.float32),
+                    np.ones((3, 8), np.float32), hi)
+    np.testing.assert_array_equal(got, feats)
+
+
+def test_compact_split_tier_engages_when_delta_fails(tmp_path):
+    """Ids spread past uint16 within a column (shuffled token order) refuse
+    the delta encoding; the split tier must take over instead of int32."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, n_feats=100_000))
+    fields = np.tile(np.arange(2, dtype=np.int32), (6, 1))
+    feats = np.array([[0, 99_000]] * 5 + [[70_000, 3]], np.int32)
+    vals = np.full((6, 2), 0.123456, np.float32)
+    y = np.zeros(6, np.float32)
+    sw = np.ones(6, np.float32)
+    out = tr._compact((fields, feats, vals, y, sw))
+    assert out[1].dtype == np.uint16
+    assert out[5] is not None and out[5].dtype == np.uint8
+    assert out[5].shape == (6, 1, 1)
+    got = _widen_np(out[0], out[1], vals, y, sw, out[5])
+    np.testing.assert_array_equal(got, feats)
+    # and training numerics are unchanged by the tier (compact on == off)
+    rng = np.random.default_rng(3)
+    path = tmp_path / "spread.ffm"
+    with open(path, "w") as f:
+        for i in range(64):
+            toks = [str(rng.integers(0, 2))] + [
+                f"{c}:{rng.integers(0, 100_000)}:1" for c in range(3)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(n_feats=100_000, n_fields=3, batch_size=16)
+    h1 = Trainer(_cfg(str(path), "", True, compact_transfer=True, **kw)).train()
+    h2 = Trainer(_cfg(str(path), "", True, compact_transfer=False, **kw)).train()
+    assert h1["train_loss"] == h2["train_loss"]
+
+
+def test_split_tier_out_of_scope_keeps_int32(tmp_path):
+    """n_feats >= 2^24 exceeds the 8 packable hi bits: ids ride int32."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, n_feats=16_777_216))
+    feats = np.array([[0, 16_000_000], [16_000_000, 0]] * 2, np.int32)
+    out = tr._compact((np.zeros((4, 2), np.int32), feats,
+                       np.full((4, 2), 0.5, np.float32),
+                       np.zeros(4, np.float32), np.ones(4, np.float32)))
+    assert out[1].dtype == np.int32 and out[5] is None
