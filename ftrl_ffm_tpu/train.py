@@ -1028,6 +1028,8 @@ class Trainer:
         replicated, and the hi plane is per-sample."""
         if self._sharded is not None or not feats.shape[-1]:
             return None
+        if os.environ.get("FTRL_SPLIT_FEATS", "1") == "0":
+            return None  # measurement aid: A/B the tier off (ids ride int32)
         w = int(self.cfg.n_feats).bit_length()
         if w > 24:
             return None
