@@ -368,6 +368,29 @@ class Trainer:
         self._dyn_agreed: dict = {}
         # device-resident offline datasets (Config.device_cache), per role
         self._dev_cache: dict = {}
+        # auc_mode=exact conflicts that are knowable NOW fail NOW — not
+        # after a full training epoch at the first evaluate() (the
+        # auto-resolved shard cache layout stays a runtime backstop there)
+        if cfg.eval_auc and cfg.auc_mode == "exact":
+            if self._proc_n > 1:
+                raise ValueError(
+                    "auc_mode=exact collects all scores on one host — use "
+                    "auc_mode=binned on multi-process runs"
+                )
+            if cfg.device_cache_layout == "shard":
+                raise ValueError(
+                    "auc_mode=exact needs per-example scores; the shard-"
+                    "layout device cache reduces to histograms inside "
+                    "shard_map — use --device_cache_layout replicate or "
+                    "--auc_mode binned"
+                )
+        # file-order replay unroll factor: read ONCE — the value is baked
+        # into _gather_train_unroll's trace, so honoring a mid-process env
+        # change would silently desync the host loop's step accounting
+        # from the compiled dispatch
+        self._iota_unroll = max(
+            1, int(os.environ.get("FTRL_IOTA_UNROLL", "1"))
+        )
 
     def _warn_if_oversized(self) -> None:
         """Preflight HBM estimate: a raw XLA RESOURCE_EXHAUSTED from deep in
@@ -697,10 +720,12 @@ class Trainer:
 
         Multi-host pins 1: the dynamic-narrowing observation/agreement
         protocol (_observe_dyn/_agree_dyn) assumes strictly ordered
-        per-batch observation on each process."""
-        if self._proc_n > 1:
+        per-batch observation on each process.  --cmd stdin pins 1 too:
+        an unbounded interactive stream gains nothing from read-ahead and
+        a worker blocked in next() would stall process teardown."""
+        if self._proc_n > 1 or self.cfg.cmd:
             return 1
-        return max(1, min(4, self.cfg.feed_workers))
+        return max(1, self.cfg.feed_workers)
 
     def _feed(self, items_iter, place):
         """Background-thread device upload: host->HBM transfers overlap the
@@ -776,8 +801,9 @@ class Trainer:
         import threading as _threading
 
         cond = _threading.Condition()
+        iter_lock = _threading.Lock()  # serializes (next(), ticket) draws
         buf: dict[int, object] = {}
-        seq = [0]            # next ticket to hand out (guarded by cond)
+        seq = [0]            # next ticket to hand out (guarded by iter_lock)
         total = [None]       # item count once items_iter is exhausted
         next_out = [0]       # next index the consumer will yield
         err: list[BaseException] = []
@@ -785,23 +811,31 @@ class Trainer:
         finalizing = _sys.is_finalizing
         MAX_AHEAD = 3        # placed batches held beyond the consumer
 
+        # Lock order: iter_lock -> cond, never the reverse.  next() runs
+        # under iter_lock ONLY (drawing an item and its order ticket must
+        # be atomic), so a producer blocked in next() never wedges the
+        # buf/backpressure traffic on cond — and never deadlocks the
+        # consumer's teardown, which touches only cond.
         def worker():
             while not stopped.is_set():
-                with cond:
+                with iter_lock:
                     if total[0] is not None or err:
                         return
                     try:
                         item = next(items_iter)
                     except StopIteration:
                         total[0] = seq[0]
-                        cond.notify_all()
+                        with cond:
+                            cond.notify_all()
                         return
                     except BaseException as e:
-                        err.append(e)
-                        cond.notify_all()
+                        with cond:
+                            err.append(e)
+                            cond.notify_all()
                         return
                     i = seq[0]
                     seq[0] += 1
+                with cond:
                     # bound host+device memory: don't run ahead of the
                     # consumer (i == next_out is always allowed, so the
                     # batch the consumer waits for can't deadlock)
@@ -1470,11 +1504,22 @@ class Trainer:
                 if self._resolve_cache_layout(max(n_est, 1)) is None:
                     self._dev_cache[role] = None
                     return None
+            pre_stat = None
+            if cfg.online:
+                # source identity BEFORE the parse starts: a write landing
+                # while we parse/upload must be seen as staleness on the
+                # next pass, so the snapshot is never recorded as fresher
+                # than the rows it actually holds (TOCTOU)
+                p = cfg.train_data if role == "train" else cfg.eval_data
+                st0 = os.stat(p)
+                pre_stat = (st0.st_size, st0.st_mtime_ns)
             ds = self._ensure_ds(role)
             self._dev_cache[role] = None
             layout = self._resolve_cache_layout(ds.n) if ds.n > 0 else None
             if layout is not None:
-                self._dev_cache[role] = self._build_device_cache(ds, layout, role)
+                self._dev_cache[role] = self._build_device_cache(
+                    ds, layout, role, pre_stat
+                )
                 # the parsed host copy is dead once the dataset lives in
                 # device memory (the streamed fallback is never used for a
                 # cached role) — free it instead of holding both for the
@@ -1513,11 +1558,18 @@ class Trainer:
                     "was built — re-reading it (streamed-online rewind "
                     "semantics)"
                 )
+            # drop every reference to the old device arrays BEFORE the
+            # rebuild parses + uploads the replacement: a near-HBM-budget
+            # dataset held twice transiently would RESOURCE_EXHAUSTED on
+            # exactly the path that is supposed to be transparent
             del self._dev_cache[role]
+            cache = None
             cache = self._ensure_device_cache(role)
         return cache
 
-    def _build_device_cache(self, ds, layout: str, role: str = "train"):
+    def _build_device_cache(
+        self, ds, layout: str, role: str = "train", pre_stat=None
+    ):
         cfg = self.cfg
         f = cfg.max_nnz
         # dataset-level canonical-content markers (the cached twin of
@@ -1682,17 +1734,15 @@ class Trainer:
                 self._gather_eval_one = jax.jit(
                     self._gather_eval_auc_sharded_impl
                 )
-        src_stat = None
-        if cfg.online:
-            # the cached replay is a SNAPSHOT; streamed online (and the
-            # reference's rewind, pc_task.cpp:15-20) re-reads the file each
-            # pass — record the source identity so _fresh_cache can detect
-            # a changed file and rebuild.  (train+cmd never reaches here;
-            # offline snapshots MATCH the reference, which loads once at
-            # ctor, ftrl_offline.cpp:21-42 — no check needed there.)
-            src_path = cfg.train_data if role == "train" else cfg.eval_data
-            st = os.stat(src_path)
-            src_stat = (st.st_size, st.st_mtime_ns)
+        # the cached replay is a SNAPSHOT; streamed online (and the
+        # reference's rewind, pc_task.cpp:15-20) re-reads the file each
+        # pass — record the source identity so _fresh_cache can detect a
+        # changed file and rebuild.  pre_stat was sampled BEFORE the parse
+        # (a write landing during parse/upload shows as stale next pass).
+        # (train+cmd never reaches here; offline snapshots MATCH the
+        # reference, which loads once at ctor, ftrl_offline.cpp:21-42 —
+        # no check needed there.)
+        src_stat = pre_stat if cfg.online else None
         return _DevCache(
             layout, ds_dev, ds.n, n_loc, rows_loc, n_real_dev, idx_sharding,
             src_stat,
@@ -1830,9 +1880,7 @@ class Trainer:
             # steps go out unrolled in one dispatch (FTRL_IOTA_UNROLL,
             # default 1); the tail uses single-step dispatches.
             n_steps = -(-n // self._local_bs)
-            u = self._iota_unroll = max(
-                1, int(os.environ.get("FTRL_IOTA_UNROLL", "1"))
-            )
+            u = self._iota_unroll  # read once at Trainer init (trace-baked)
             s_i = 0
             tail = []
             while s_i < n_steps:

@@ -879,3 +879,20 @@ def test_split_tier_out_of_scope_keeps_int32(tmp_path):
                        np.full((4, 2), 0.5, np.float32),
                        np.zeros(4, np.float32), np.ones(4, np.float32)))
     assert out[1].dtype == np.int32 and out[5] is None
+
+
+def test_exact_auc_conflicts_fail_at_init(tmp_path):
+    """Statically-knowable auc_mode=exact conflicts raise at Trainer
+    construction, not after a full training epoch at the first eval."""
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    with pytest.raises(ValueError, match="shard"):
+        Trainer(_cfg(train, "", True, auc_mode="exact",
+                     device_cache_layout="shard"))
+
+
+def test_feed_workers_pinned_for_cmd_stdin(tmp_path):
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, feed_workers=4))
+    assert tr._feed_worker_count() == 4  # honored, no hidden clamp
+    tr.cfg.cmd = True
+    assert tr._feed_worker_count() == 1  # stdin pins 1
