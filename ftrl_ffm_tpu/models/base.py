@@ -65,7 +65,8 @@ class Batch(NamedTuple):
 
     fields: jax.Array  # [B, F] int32 (or int8/int16 compacted)
     feats: jax.Array   # [B, F] int32 (or uint16 deltas, see feats_base)
-    vals: jax.Array    # [B, F] float32 (or int8/bfloat16 when exact)
+    vals: jax.Array    # [B, F] float32 (or int8/bfloat16 when exact, or
+                       # [B, 3F] uint8 DEC6 fixed-point — see widen_batch)
     y: jax.Array       # [B] float32 in {0, 1} (or int8)
     sample_w: jax.Array  # [B] float32 (or int8 when integral)
     feats_base: Optional[jax.Array] = None  # [F+1] int32: bases + sentinel
@@ -138,11 +139,29 @@ def widen_batch(b: Batch) -> Batch:
             feats = jnp.where(feats == 65535, sent, base + feats)
     # zero-width vals = the all-ones full-batch marker (shape is
     # trace-static, so this costs nothing per step)
-    vals = (
-        jnp.ones(feats.shape, jnp.float32)
-        if b.vals.shape[-1] == 0 and feats.shape[-1] != 0
-        else b.vals.astype(jnp.float32)
-    )
+    if b.vals.shape[-1] == 0 and feats.shape[-1] != 0:
+        vals = jnp.ones(feats.shape, jnp.float32)
+    elif b.vals.dtype == jnp.uint8:
+        # DEC6 tier: vals are 6-decimal fixed-point k·10⁻⁶ shipped as
+        # 3 little-endian bytes per value ([..., 3F] uint8).  Reconstruct
+        # by DIVISION with the exact f32 constant 1e6: correctly-rounded
+        # f32 division of exact integers reproduces strtof("%.6f") bit-
+        # exactly (multiplying by the inexact f32 1e-6 does NOT — ~3% of
+        # values land 1 ulp off).  The host verified v == f32(k)/f32(1e6)
+        # per batch AND that this device's division matches the host's
+        # bit-for-bit (Trainer._dec6_device_ok), so training numerics are
+        # unchanged.
+        u = b.vals.astype(jnp.int32)
+        k = u[..., 0::3] + (u[..., 1::3] << 8) + (u[..., 2::3] << 16)
+        # optimization_barrier keeps the divisor opaque: XLA folds
+        # division by a LITERAL constant into multiply-by-reciprocal,
+        # which is 1 ulp off for ~3% of ks (measured); a true division
+        # instruction is correctly rounded (and verified against the
+        # host per process — Trainer._dec6_device_ok)
+        den = jax.lax.optimization_barrier(jnp.float32(1e6))
+        vals = k.astype(jnp.float32) / den
+    else:
+        vals = b.vals.astype(jnp.float32)
     # zero-ROW fields [..., 0, F] = the iota marker (every row's fields are
     # exactly 0..F-1, the canonical one-feature-per-field layout); padded
     # slots get field j instead of the parser's 0, which is numerically

@@ -362,6 +362,8 @@ class Trainer:
         # disables it for the rest of the run, so the jitted step sees at
         # most one feats-dtype flip (recompiles are expensive on TPU)
         self._delta_ok = True
+        # DEC6 vals-tier hysteresis (same one-flip contract)
+        self._dec6_ok = True
         # Multi-host dynamic-narrowing agreement (see _compact): per-stream
         # observations from the first full pass and the agreed contract
         self._dyn_obs: dict = {}
@@ -1081,6 +1083,79 @@ class Trainer:
             )
         return lo, hi_packed
 
+    def _dec6_vals(self, vals):
+        """DEC6 vals transfer tier: real-valued features that are 6-decimal
+        fixed-point (v = k·10⁻⁶, k < 2²⁴ — exactly what the reference's own
+        data prep emits, python/generate_data.py's %.6f MinMax floats) ship
+        as 3 little-endian bytes per value instead of f32 (117 vs 156
+        B/sample at C=39).  LOSSLESS by construction: the batch is used
+        only if every value reconstructs bit-exactly as f32(k)/f32(1e6)
+        (division by the EXACT constant reproduces strtof; multiplying by
+        the inexact f32 1e-6 is 1 ulp off for ~3% of values) — which is
+        precisely what widen_batch computes on device, whose division is
+        itself verified bit-identical to the host's once per process
+        (_dec6_device_ok).  One-flip hysteresis like _delta_ok keeps jit
+        avals bounded.  Returns the [..., 3F] uint8 array or None."""
+        if not self._dec6_ok or not vals.shape[-1]:
+            return None
+        k = np.rint(vals.astype(np.float64) * 1e6)
+        if not ((k >= 0).all() and (k < (1 << 24)).all()):
+            self._dec6_ok = False
+            return None
+        recon = k.astype(np.float32) / np.float32(1e6)
+        if not np.array_equal(recon, vals):
+            self._dec6_ok = False
+            return None
+        if not self._dec6_device_ok():
+            self._dec6_ok = False
+            return None
+        k = k.astype(np.uint32)
+        out = np.empty((*vals.shape[:-1], vals.shape[-1] * 3), np.uint8)
+        out[..., 0::3] = k & 0xFF
+        out[..., 1::3] = (k >> 8) & 0xFF
+        out[..., 2::3] = k >> 16
+        return out
+
+    def _dec6_device_ok(self) -> bool:
+        """One-time per-process probe: does THIS device's f32 division by
+        the exact constant 1e6 match the host's correctly-rounded division
+        bit-for-bit?  IEEE-correct f32 division is what makes the DEC6
+        reconstruction equal strtof; a device where division is only
+        1-ulp-accurate (reciprocal approximations) must not take the tier
+        — fail-safe to f32 uploads.  Probes 64k random + boundary ks (an
+        exhaustive 2^24 sweep on the dev chip is recorded in BASELINE.md);
+        ~one dispatch + readback, amortized over the run."""
+        ok = getattr(self, "_dec6_dev_checked", None)
+        if ok is None:
+            try:
+                rng = np.random.default_rng(0)
+                k = np.concatenate(
+                    [
+                        rng.integers(0, 1 << 24, 65536),
+                        [0, 1, 999_999, 10**6, (1 << 24) - 1],
+                    ]
+                ).astype(np.int32)
+                host = k.astype(np.float32) / np.float32(1e6)
+                dev = np.asarray(
+                    jax.jit(
+                        # the same barrier-guarded division widen_batch
+                        # compiles (a literal divisor would be folded to
+                        # a 1-ulp-off reciprocal multiply)
+                        lambda x: x.astype(jnp.float32)
+                        / jax.lax.optimization_barrier(jnp.float32(1e6))
+                    )(jnp.asarray(k))
+                )
+                ok = bool(np.array_equal(host, dev))
+            except Exception:
+                ok = False
+            if not ok:
+                print(
+                    "note: device f32 division is not bit-identical to the "
+                    "host's — DEC6 vals compaction disabled (f32 uploads)"
+                )
+            self._dec6_dev_checked = ok
+        return ok
+
     def _compact(self, arrays, role: str = "train"):
         """Narrow upload dtypes (see Config.compact_transfer); the jitted
         steps widen on device (models/base.py::widen_batch).
@@ -1184,7 +1259,8 @@ class Trainer:
             elif flags & _native.VALS_BF16:
                 vals_c = v_bf16.view(ml_dtypes.bfloat16).reshape(vals.shape)
             else:
-                vals_c = vals
+                dec = self._dec6_vals(vals)
+                vals_c = dec if dec is not None else vals
             if fields_c is None:
                 if flags & _native.FIELDS_IOTA:
                     # zero-ROW iota marker: every row's fields are exactly
@@ -1282,6 +1358,10 @@ class Trainer:
                     vals_bf16 = vals.astype(ml_dtypes.bfloat16)
                     if np.array_equal(vals_bf16.astype(np.float32), vals):
                         vals_c = vals_bf16
+                    else:
+                        dec = self._dec6_vals(vals)
+                        if dec is not None:
+                            vals_c = dec
             sw_i8 = sample_w.astype(np.int8)
             if not np.array_equal(sw_i8.astype(np.float32), sample_w):
                 sw_i8 = sample_w  # fractional sample weights: keep f32

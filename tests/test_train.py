@@ -321,7 +321,9 @@ def test_compact_transfer_lossless_only(tmp_path):
     out = tr._compact((fields, feats_pad, vals, y, ones))
     assert out[2].shape == (4, 2) and out[2].dtype == np.int8
     # non-representable values / fractional weights -> kept f32
-    vals = np.full((4, 2), 0.123456, np.float32)
+    # (1/3 is not int8/bf16-exact and not 6-decimal fixed-point, so no
+    # narrowing tier — including DEC6 — may touch it)
+    vals = np.full((4, 2), np.float32(1) / np.float32(3), np.float32)
     half = np.full(4, 0.5, np.float32)
     out = tr._compact((fields, feats, vals, y, half))
     assert out[2].dtype == np.float32 and out[4].dtype == np.float32
@@ -896,3 +898,65 @@ def test_feed_workers_pinned_for_cmd_stdin(tmp_path):
     assert tr._feed_worker_count() == 4  # honored, no hidden clamp
     tr.cfg.cmd = True
     assert tr._feed_worker_count() == 1  # stdin pins 1
+
+
+# ---- DEC6 vals transfer tier (6-decimal fixed-point reals) ----
+
+
+def test_dec6_vals_roundtrip(tmp_path):
+    """%.6f-parsed reals (the reference's own generate_data.py output
+    format) ship as 3 bytes/value and reconstruct bit-exactly."""
+    from ftrl_ffm_tpu.models.base import Batch, widen_batch
+    import jax.numpy as jnp
+
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True))
+    rng = np.random.default_rng(7)
+    k = rng.integers(0, 1_000_000, (32, 5))
+    vals = (k.astype(np.float32) / np.float32(1e6)).astype(np.float32)
+    vals[0, 0] = 0.0           # padding slots carry 0.0
+    vals[1, 1] = np.float32((1 << 24) - 1) / np.float32(1e6)  # max tier value
+    enc = tr._dec6_vals(vals)
+    assert enc is not None and enc.dtype == np.uint8
+    assert enc.shape == (32, 15)
+    b = Batch(jnp.zeros((32, 5), jnp.int8), jnp.zeros((32, 5), jnp.int32),
+              jnp.asarray(enc), jnp.zeros(32), jnp.ones(32))
+    got = np.asarray(widen_batch(b).vals)
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_dec6_vals_rejects_and_disables(tmp_path):
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True))
+    good = np.full((4, 2), np.float32(123456) / np.float32(1e6), np.float32)
+    assert tr._dec6_vals(good) is not None
+    # a genuinely non-decimal f32 disables the tier for the run
+    bad = np.full((4, 2), np.float32(1/3), np.float32)
+    assert tr._dec6_vals(bad) is None
+    assert tr._dec6_ok is False
+    assert tr._dec6_vals(good) is None  # hysteresis: stays off
+    # negatives reject too
+    tr2 = Trainer(_cfg(train, "", True))
+    assert tr2._dec6_vals(np.full((2, 2), -0.5, np.float32)) is None
+
+
+def test_dec6_engages_in_compact_and_trains_identically(tmp_path):
+    """End-to-end: decimal-valued libffm data rides the DEC6 tier with
+    training numerics identical to compact_transfer=False."""
+    rng = np.random.default_rng(9)
+    path = tmp_path / "dec.ffm"
+    with open(path, "w") as f:
+        for i in range(64):
+            toks = [str(rng.integers(0, 2))] + [
+                f"{c}:{rng.integers(0, 50)}:{rng.integers(1, 10**6) / 10**6:.6f}"
+                for c in range(3)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(n_feats=50, n_fields=3, batch_size=16)
+    tr = Trainer(_cfg(str(path), "", True, compact_transfer=True, **kw))
+    arrays = next(iter(tr._train_batches(np.random.default_rng(0))))
+    out = tr._compact(arrays)
+    assert out[2].dtype == np.uint8 and out[2].shape[-1] == arrays[2].shape[-1] * 3
+    h1 = Trainer(_cfg(str(path), "", True, compact_transfer=True, **kw)).train()
+    h2 = Trainer(_cfg(str(path), "", True, compact_transfer=False, **kw)).train()
+    assert h1["train_loss"] == h2["train_loss"]
