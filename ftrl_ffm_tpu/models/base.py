@@ -162,6 +162,24 @@ def widen_batch(b: Batch) -> Batch:
         vals = k.astype(jnp.float32) / den
     else:
         vals = b.vals.astype(jnp.float32)
+    # bit-packed fields: [..., w, ceil(F/8)] uint8 bitplanes (plane i =
+    # bit i of the field id, MSB-first along F — train.py::_pack_bitplanes;
+    # w = bit_length(n_fields - 1), e.g. 6 bits for 39 fields vs 8 as i8).
+    # Detected by rank: one more axis than feats.
+    if b.fields.ndim == feats.ndim + 1 and b.fields.dtype == jnp.uint8:
+        f = feats.shape[-1]
+        w = b.fields.shape[-2]
+        j = jnp.arange(f)
+        byte = jnp.take(b.fields.astype(jnp.int32), j // 8, axis=-1)
+        bits = (byte >> (7 - (j % 8))) & 1
+        fields = jnp.sum(bits << jnp.arange(w)[..., None], axis=-2)
+        return Batch(
+            fields=fields,
+            feats=feats,
+            vals=vals,
+            y=b.y.astype(jnp.float32),
+            sample_w=b.sample_w.astype(jnp.float32),
+        )
     # zero-ROW fields [..., 0, F] = the iota marker (every row's fields are
     # exactly 0..F-1, the canonical one-feature-per-field layout); padded
     # slots get field j instead of the parser's 0, which is numerically

@@ -34,6 +34,17 @@ from ftrl_ffm_tpu.models import Batch, make_model
 from ftrl_ffm_tpu.models.base import ModelState, take_cached
 
 
+def _pack_bitplanes(a: np.ndarray, k: int) -> np.ndarray:
+    """[..., F] small ints -> [..., k, ceil(F/8)] uint8: plane i holds bit i
+    of each value, MSB-first-packed along F (np.packbits bit order — the
+    device decode in models/base.py::widen_batch mirrors it).  k = 0 yields
+    the zero-plane marker shape."""
+    if k == 0:
+        return np.zeros((*a.shape[:-1], 0, (a.shape[-1] + 7) // 8), np.uint8)
+    planes = np.stack([(a >> i) & 1 for i in range(k)], axis=-2)
+    return np.packbits(planes, axis=-1)
+
+
 class _DevCache(NamedTuple):
     """A device-resident offline dataset (Config.device_cache).
 
@@ -1071,16 +1082,7 @@ class Trainer:
             return None
         k = max(0, w - 16)
         lo = (feats & 0xFFFF).astype(np.uint16)
-        if k:
-            hi = (feats >> 16).astype(np.uint8)
-            planes = np.stack(
-                [(hi >> i) & 1 for i in range(k)], axis=-2
-            )  # [..., k, F]
-            hi_packed = np.packbits(planes, axis=-1)
-        else:
-            hi_packed = np.zeros(
-                (*feats.shape[:-1], 0, (feats.shape[-1] + 7) // 8), np.uint8
-            )
+        hi_packed = _pack_bitplanes((feats >> 16).astype(np.uint8), k)
         return lo, hi_packed
 
     def _dec6_vals(self, vals):
@@ -1115,6 +1117,23 @@ class Trainer:
         out[..., 1::3] = (k >> 8) & 0xFF
         out[..., 2::3] = k >> 16
         return out
+
+    def _pack_fields(self, fields):
+        """Bit-packed fields transfer tier: [..., F] field ids ->
+        [..., w, ceil(F/8)] uint8 bitplanes with w = bit_length(n_fields-1)
+        (6 bits for Criteo's 39 fields vs 8 as int8 — 30 vs 39 B/sample).
+        Engaged only when it actually shrinks the upload; static per run
+        (depends only on cfg.n_fields).  Non-sharded only — the sharded
+        fields pspec is rank-2.  Returns the packed array or None."""
+        if self._sharded is not None:
+            return None
+        f = fields.shape[-1]
+        if not f or self.cfg.n_fields < 2:
+            return None
+        w = int(self.cfg.n_fields - 1).bit_length()
+        if w > 8 or w * ((f + 7) // 8) >= f:
+            return None
+        return _pack_bitplanes(fields.astype(np.uint8), w)
 
     def _dec6_device_ok(self) -> bool:
         """One-time per-process probe: does THIS device's f32 division by
@@ -1268,10 +1287,14 @@ class Trainer:
                     # batch is pad-free — reconstructed on device
                     # (models/base.py::widen_batch)
                     fields_c = fields[..., :0, :].astype(np.int8)
-                elif fld_i8 is not None:
-                    fields_c = fld_i8.reshape(fields.shape)
                 else:
-                    fields_c = fields.astype(fdt)
+                    packed = self._pack_fields(fields)
+                    if packed is not None:
+                        fields_c = packed
+                    elif fld_i8 is not None:
+                        fields_c = fld_i8.reshape(fields.shape)
+                    else:
+                        fields_c = fields.astype(fdt)
             sw_i8 = sample_w.astype(np.int8)
             if not np.array_equal(sw_i8.astype(np.float32), sample_w):
                 sw_i8 = sample_w  # fractional sample weights: keep f32
@@ -1302,7 +1325,10 @@ class Trainer:
             ):
                 fields_c = fields[..., :0, :].astype(np.int8)
             else:
-                fields_c = fields.astype(fdt)
+                packed = self._pack_fields(fields)
+                fields_c = (
+                    packed if packed is not None else fields.astype(fdt)
+                )
         # feats: per-column uint16 delta encoding.  CTR ids cluster in
         # per-field vocab ranges, so (max - min) per column is tiny even when
         # n_feats is huge; delta 65535 is reserved for the padding sentinel.

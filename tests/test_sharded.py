@@ -541,3 +541,36 @@ def test_hybrid_mesh_accumulator_allreduce_matches_scaling_model():
         f"dominant communicating all-reduce is {big} B; the scaling "
         f"model's [R/M, 2E] accumulator term is {model_term_bytes} B"
     )
+
+
+def test_dec6_vals_on_mesh_matches_single_device(tmp_path):
+    """The DEC6 vals tier (uint8 [B, 3F] fixed-point upload) is reachable
+    from the single-process sharded path — vals stay batch-sharded, so the
+    tier must not change numerics on a mesh either."""
+    from ftrl_ffm_tpu.train import Trainer
+
+    rng = np.random.default_rng(4)
+    path = str(tmp_path / "dec.ffm")
+    with open(path, "w") as f:
+        for i in range(128):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 50))}"
+                f":{int(rng.integers(1, 10**6)) / 10**6:.6f}"
+                for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(
+        train_data=path, eval_data=path, model_type="FFM", n_fields=4,
+        n_feats=50, n_factors=4, batch_size=32, n_epochs=1, online=True,
+        device_cache="off",
+    )
+    t1 = Trainer(Config(**kw))
+    h1 = t1.train()
+    assert t1._dec6_ok, "decimal data must keep the DEC6 tier engaged"
+    t2 = Trainer(Config(**kw, mesh_data=2, mesh_model=2))
+    b = next(iter(t2._train_batches(np.random.default_rng(0))))
+    c = t2._compact(b)
+    assert c[2].dtype == np.uint8 and c[2].shape[-1] == 12  # tier engaged
+    h2 = t2.train()
+    np.testing.assert_allclose(h1["train_loss"], h2["train_loss"], rtol=1e-5)
+    np.testing.assert_allclose(h1["eval_loss"], h2["eval_loss"], rtol=1e-5)

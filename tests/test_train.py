@@ -960,3 +960,47 @@ def test_dec6_engages_in_compact_and_trains_identically(tmp_path):
     h1 = Trainer(_cfg(str(path), "", True, compact_transfer=True, **kw)).train()
     h2 = Trainer(_cfg(str(path), "", True, compact_transfer=False, **kw)).train()
     assert h1["train_loss"] == h2["train_loss"]
+
+
+# ---- bit-packed fields transfer tier ----
+
+
+def test_packed_fields_roundtrip_and_training(tmp_path):
+    """Non-iota fields (shuffled token order) ride w-bit bitplanes
+    (6 bits at 39 fields); decode is exact and training matches
+    compact_transfer=False."""
+    from ftrl_ffm_tpu.models.base import Batch, widen_batch
+    import jax.numpy as jnp
+
+    train = write_fixture(tmp_path / "train.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(train, "", True, n_fields=39, n_feats=1000))
+    rng = np.random.default_rng(11)
+    fields = rng.integers(0, 39, (16, 13)).astype(np.int32)
+    packed = tr._pack_fields(fields)
+    assert packed is not None
+    assert packed.shape == (16, 6, 2) and packed.dtype == np.uint8
+    b = Batch(jnp.asarray(packed), jnp.zeros((16, 13), jnp.int32),
+              jnp.ones((16, 13), jnp.float32), jnp.zeros(16), jnp.ones(16))
+    got = np.asarray(widen_batch(b).fields)
+    np.testing.assert_array_equal(got, fields)
+    # not engaged when it wouldn't shrink the upload (tiny F)
+    assert tr._pack_fields(fields[:, :4]) is None
+
+    # end-to-end on shuffled-field-order libffm data
+    rng = np.random.default_rng(12)
+    path = tmp_path / "shuf.ffm"
+    with open(path, "w") as f:
+        for i in range(48):
+            cs = rng.permutation(9)[:5]
+            toks = [str(rng.integers(0, 2))] + [
+                f"{c}:{rng.integers(0, 80)}:1" for c in cs
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(n_feats=80, n_fields=9, batch_size=16, max_nnz=5)
+    tr1 = Trainer(_cfg(str(path), "", True, compact_transfer=True, **kw))
+    arrays = next(iter(tr1._train_batches(np.random.default_rng(0))))
+    c = tr1._compact(arrays)
+    assert c[0].dtype == np.uint8 and c[0].ndim == 3  # packed tier engaged
+    h1 = tr1.train()
+    h2 = Trainer(_cfg(str(path), "", True, compact_transfer=False, **kw)).train()
+    assert h1["train_loss"] == h2["train_loss"]
