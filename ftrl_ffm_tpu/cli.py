@@ -112,6 +112,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "per device (global shuffle, bit-matching batches) "
                         "or shard 1/D per device (per-slice shuffle, the "
                         "multi-host streamed semantics, 1/D the HBM)")
+    p.add_argument("--device_cache_compact", default="auto",
+                   choices=("auto", "on", "off"),
+                   help="store the cached dataset compactly in HBM (split "
+                        "ids + DEC6 vals + packed fields, ~2x capacity; "
+                        "auto = only when raw would not fit)")
     p.add_argument("--feed_workers", type=int, default=1,
                    help="device-feed threads; >1 interleaves whole batches "
                         "(compact+upload) across threads with a reorder "

@@ -163,6 +163,14 @@ class Config:
     #   "auto" — replicate when the full dataset fits next to the state,
     #     else shard when a slice fits, else stream.
     device_cache_layout: str = "auto"  # "auto" | "replicate" | "shard"
+    # Compact in-HBM storage for the cached dataset (single-device runs):
+    # the same lossless transfer tiers (split feats, DEC6 vals, bit-packed
+    # fields) applied to the RESIDENT arrays — ~1.7-2x more rows fit the
+    # cache; batches decode on device right after the gather (a few
+    # elementwise ops).  "auto" engages only when the raw arrays would NOT
+    # fit next to the state (so the default cached path is byte-identical
+    # to round 4's); "on" forces compact storage; "off" never.
+    device_cache_compact: str = "auto"  # "auto" | "on" | "off"
     # Device-feed threads.  1 = the single background uploader thread
     # (train.py::_feed).  >1 = order-preserving interleaved feeders: each
     # thread runs the FULL compact+upload for alternating whole batches —
@@ -205,6 +213,10 @@ class Config:
             raise ValueError(
                 "auc_mode=exact needs per-batch scores (steps_per_call=1); "
                 "the scan-grouped eval reduces to histograms on device"
+            )
+        if self.device_cache_compact not in ("auto", "on", "off"):
+            raise ValueError(
+                f"invalid device_cache_compact: {self.device_cache_compact}"
             )
         if self.device_cache_layout not in ("auto", "replicate", "shard"):
             raise ValueError(

@@ -62,6 +62,8 @@ class _DevCache(NamedTuple):
     n_real_dev: Optional[object]
     idx_sharding: Optional[object] = None  # multi-process: [B] row sharding
     src_stat: Optional[tuple] = None  # online train: (size, mtime_ns) at build
+    compact: bool = False  # compact in-HBM leaf encodings (single-device;
+                           # decoded after the gather — _decode_cached_batch)
 
 
 _cache_enabled = False
@@ -521,7 +523,7 @@ class Trainer:
     # (remaining diff: ulp-level jit-boundary fusion, like steps_per_call).
     def _gather_train_impl(self, state: ModelState, ds, idx, n_real):
         def body(st, ix):
-            out = self.model.train_step(st, take_cached(ds, ix, n_real))
+            out = self.model.train_step(st, self._take_cached(ds, ix, n_real))
             return out.state, (out.loss_sum, out.count)
 
         state, (ls, ct) = jax.lax.scan(body, state, idx)
@@ -546,7 +548,7 @@ class Trainer:
         One donated dispatch per step keeps the streamed path's update
         aliasing; the host-side cost is a [B] int32 upload that hides
         behind the device step."""
-        out = self.model.train_step(state, take_cached(ds, ix, n_real))
+        out = self.model.train_step(state, self._take_cached(ds, ix, n_real))
         return out.state, out.loss_sum, out.count
 
     def _iota_rows(self, step_ix, n_real):
@@ -567,7 +569,7 @@ class Trainer:
         identity permutation needs no host-built index row — see
         _iota_rows."""
         ix = self._iota_rows(step_ix, n_real)
-        out = self.model.train_step(state, take_cached(ds, ix, n_real))
+        out = self.model.train_step(state, self._take_cached(ds, ix, n_real))
         return out.state, out.loss_sum, out.count
 
     def _gather_train_unroll_impl(self, state: ModelState, ds, step0, n_real):
@@ -578,7 +580,7 @@ class Trainer:
         ls_l, ct_l = [], []
         for k in range(self._iota_unroll):
             ix = self._iota_rows(step0 + k, n_real)
-            out = self.model.train_step(state, take_cached(ds, ix, n_real))
+            out = self.model.train_step(state, self._take_cached(ds, ix, n_real))
             state = out.state
             ls_l.append(out.loss_sum)
             ct_l.append(out.count)
@@ -586,13 +588,13 @@ class Trainer:
 
     def _gather_eval_one_iota_impl(self, state: ModelState, ds, step_ix, n_real):
         ix = self._iota_rows(step_ix, n_real)
-        b = take_cached(ds, ix, n_real)
+        b = self._take_cached(ds, ix, n_real)
         ls, ct, logits = self.model.eval_step(state, b)
         pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
         return ls, ct, pos, neg
 
     def _gather_eval_one_impl(self, state: ModelState, ds, ix, n_real):
-        b = take_cached(ds, ix, n_real)
+        b = self._take_cached(ds, ix, n_real)
         ls, ct, logits = self.model.eval_step(state, b)
         pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
         return ls, ct, pos, neg
@@ -600,7 +602,7 @@ class Trainer:
     def _gather_eval_impl(self, state: ModelState, ds, idx, n_real):
         def body(carry, ix):
             ls0, ct0, pos0, neg0 = carry
-            b = take_cached(ds, ix, n_real)
+            b = self._take_cached(ds, ix, n_real)
             ls, ct, logits = self.model.eval_step(state, b)
             pos, neg = StreamingAUC.bucket_counts(logits, b.y, b.sample_w, AUC_BINS)
             return (ls0 + ls, ct0 + ct, pos0 + pos, neg0 + neg), None
@@ -669,7 +671,7 @@ class Trainer:
                 return ls, ct, logits, batch.y, batch.sample_w
 
             def _cached(state, ds, ix, n_real):
-                b = take_cached(ds, ix, n_real)
+                b = self._take_cached(ds, ix, n_real)
                 ls, ct, logits = self.model.eval_step(state, b)
                 return ls, ct, logits, b.y, b.sample_w
 
@@ -1535,7 +1537,17 @@ class Trainer:
             return "shard" if self._device_cache_fits(per_dev) else None
         if self._sharded is None or d == 1:
             # shard layout degenerates to replicate on one batch device
-            return "replicate" if self._device_cache_fits(n) else None
+            if self._device_cache_fits(n):
+                return "replicate"
+            # raw doesn't fit: compact in-HBM storage may still
+            # (Config.device_cache_compact; decided again at build)
+            if self._sharded is None and self.cfg.device_cache_compact != (
+                "off"
+            ) and self._device_cache_fits(
+                n, self._compact_cache_row_bytes()
+            ):
+                return "replicate"
+            return None
         if want == "replicate":
             return "replicate" if self._device_cache_fits(n) else None
         per_dev = -(-n // d)
@@ -1796,6 +1808,10 @@ class Trainer:
 
         n_real_dev = None
         idx_sharding = None
+        compact = False
+        if self._sharded is None and self._cache_compact_mode(ds.n):
+            ds_host = self._compact_cache_arrays(ds_host)
+            compact = True
         if self._sharded is None:
             ds_dev = tuple(jnp.asarray(a) for a in ds_host)
         else:
@@ -1851,13 +1867,139 @@ class Trainer:
         src_stat = pre_stat if cfg.online else None
         return _DevCache(
             layout, ds_dev, ds.n, n_loc, rows_loc, n_real_dev, idx_sharding,
-            src_stat,
+            src_stat, compact,
         )
 
-    def _device_cache_fits(self, n: int) -> bool:
+    def _compact_cache_arrays(self, ds_host: tuple) -> tuple:
+        """Re-encode the assembled cache arrays (fields, feats, vals, y)
+        into their compact in-HBM forms (Config.device_cache_compact).
+        Per-leaf, all lossless, all static per run:
+          feats  [N, F] i32  -> [N, 2F + k·Pb] u8 (lo bytes ‖ hi bitplanes)
+          vals   [N, F] f32  -> [N, 3F] u8 DEC6 when the whole dataset is
+                                6-decimal fixed-point (else kept f32)
+          fields [N, F] i32  -> [N, w·Pb] u8 bitplanes (w <= 8)
+        Zero-size markers and LR/FM fields pass through untouched; y stays
+        f32 (4 B/row is noise).  _decode_cached_batch inverts on device."""
+        fields_h, feats_h, vals_h, y_h = ds_host
+        f = self.cfg.max_nnz
+        pb = (f + 7) // 8
+        wf = int(self.cfg.n_feats).bit_length()
+        if wf <= 24 and feats_h.shape[0]:
+            k = max(0, wf - 16)
+            lo = (feats_h & 0xFFFF).astype(np.uint16)
+            lo8 = np.empty((feats_h.shape[0], 2 * f), np.uint8)
+            lo8[:, 0::2] = lo & 0xFF
+            lo8[:, 1::2] = lo >> 8
+            hi = _pack_bitplanes((feats_h >> 16).astype(np.uint8), k)
+            feats_h = np.concatenate(
+                [lo8, hi.reshape(feats_h.shape[0], k * pb)], axis=1
+            )
+        if (
+            vals_h.shape[0]
+            and vals_h.dtype == np.float32
+            and self._dec6_device_ok()
+        ):
+            kv = np.rint(vals_h.astype(np.float64) * 1e6)
+            if (
+                (kv >= 0).all()
+                and (kv < (1 << 24)).all()
+                and np.array_equal(
+                    kv.astype(np.float32) / np.float32(1e6), vals_h
+                )
+            ):
+                kv = kv.astype(np.uint32)
+                enc = np.empty((vals_h.shape[0], 3 * f), np.uint8)
+                enc[:, 0::3] = kv & 0xFF
+                enc[:, 1::3] = (kv >> 8) & 0xFF
+                enc[:, 2::3] = kv >> 16
+                vals_h = enc
+        if fields_h.shape[0] and fields_h.shape[-1]:
+            w = int(max(self.cfg.n_fields - 1, 1)).bit_length()
+            if w <= 8 and w * pb < f:
+                fields_h = _pack_bitplanes(
+                    fields_h.astype(np.uint8), w
+                ).reshape(fields_h.shape[0], w * pb)
+        return (fields_h, feats_h, vals_h, y_h)
+
+    def _decode_cached_batch(self, b: Batch) -> Batch:
+        """Invert _compact_cache_arrays after the per-step gather (device
+        side, inside the jitted gather step — a few elementwise ops on
+        [B, F]).  Leaves that kept their wide form pass through; the
+        reconstructions are the exact ones the transfer tiers use
+        (models/base.py::widen_batch), so batches equal the raw-cache
+        path's bit for bit."""
+        f = self.cfg.max_nnz
+        pb = (f + 7) // 8
+        fields, feats, vals = b.fields, b.feats, b.vals
+        j = jnp.arange(f)
+        if feats.dtype == jnp.uint8:
+            u = feats.astype(jnp.int32)
+            out = u[..., 0 : 2 * f : 2] | (u[..., 1 : 2 * f : 2] << 8)
+            k = max(0, int(self.cfg.n_feats).bit_length() - 16)
+            if k:
+                planes = u[..., 2 * f :].reshape(*u.shape[:-1], k, pb)
+                byte = jnp.take(planes, j // 8, axis=-1)
+                bits = (byte >> (7 - (j % 8))) & 1
+                out = out + jnp.sum(
+                    bits << (16 + jnp.arange(k))[..., None], axis=-2
+                )
+            feats = out
+        if vals.dtype == jnp.uint8:
+            u = vals.astype(jnp.int32)
+            kv = u[..., 0::3] + (u[..., 1::3] << 8) + (u[..., 2::3] << 16)
+            den = jax.lax.optimization_barrier(jnp.float32(1e6))
+            vals = kv.astype(jnp.float32) / den
+        if fields.dtype == jnp.uint8 and fields.ndim == feats.ndim:
+            w = fields.shape[-1] // pb
+            planes = fields.astype(jnp.int32).reshape(
+                *fields.shape[:-1], w, pb
+            )
+            byte = jnp.take(planes, j // 8, axis=-1)
+            bits = (byte >> (7 - (j % 8))) & 1
+            fields = jnp.sum(bits << jnp.arange(w)[..., None], axis=-2)
+        return b._replace(fields=fields, feats=feats, vals=vals)
+
+    def _take_cached(self, ds, ix, n_real) -> Batch:
+        """take_cached + the compact-storage decode (trace-static: the
+        branch keys off leaf dtypes)."""
+        return self._decode_cached_batch(take_cached(ds, ix, n_real))
+
+    def _compact_cache_row_bytes(self) -> int:
+        """Conservative per-row bytes of the compact in-HBM dataset form
+        (Config.device_cache_compact): split feats + packed fields always
+        count; vals count as f32 (the DEC6 eligibility is data-dependent
+        and only discovered at build — budgeting the wide form can only
+        overestimate)."""
+        cfg = self.cfg
+        f = cfg.max_nnz
+        pb = (f + 7) // 8
+        wf = int(cfg.n_feats).bit_length()
+        feats_b = (2 * f + max(0, wf - 16) * pb) if wf <= 24 else 4 * f
+        if cfg.model_type in ("LR", "FM"):
+            fields_b = 0
+        else:
+            w = int(max(cfg.n_fields - 1, 1)).bit_length()
+            fields_b = w * pb if w <= 8 and w * pb < f else f
+        return fields_b + feats_b + 4 * f + 4
+
+    def _cache_compact_mode(self, n: int) -> bool:
+        """Does compact in-HBM storage engage for an n-row dataset?
+        Single-device scope only (the sharded gather steps never decode).
+        auto = only when the raw arrays would not fit (default cached
+        path stays byte-identical); on = always; off = never."""
+        want = self.cfg.device_cache_compact
+        if want == "off" or self._sharded is not None:
+            return False
+        if want == "on":
+            return True
+        return not self._device_cache_fits(n) and self._device_cache_fits(
+            n, self._compact_cache_row_bytes()
+        )
+
+    def _device_cache_fits(self, n: int, row_bytes: int = 0) -> bool:
         if self.cfg.device_cache == "on":
             return True
-        ds_bytes = (n + 1) * (12 * self.cfg.max_nnz + 4)
+        ds_bytes = (n + 1) * (row_bytes or (12 * self.cfg.max_nnz + 4))
         try:
             dev = jax.devices()[0]
             if dev.platform == "cpu":

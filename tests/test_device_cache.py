@@ -490,3 +490,86 @@ def test_online_eval_cache_rebuilds_when_file_changes(tmp_path):
     np.testing.assert_allclose(m_on1, m_off1, rtol=1e-6)
     np.testing.assert_allclose(m_on2, m_off2, rtol=1e-6)
     assert abs(m_on1[0] - m_on2[0]) > 0  # the new file actually differs
+
+
+# ---- compact in-HBM cache storage (Config.device_cache_compact) ----
+
+
+@pytest.mark.parametrize("online", [False, True])
+def test_compact_cache_matches_raw(tmp_path, online):
+    """device_cache_compact=on stores the cached dataset in the tier
+    encodings (split ids, DEC6 vals, packed fields) and decodes after the
+    per-step gather — every loss and weight must equal the raw cache's."""
+    rng = np.random.default_rng(21)
+    path = str(tmp_path / "t.ffm")
+    with open(path, "w") as f:
+        for i in range(64):
+            cs = rng.permutation(FIXTURE_FIELDS)  # non-iota field order
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, FIXTURE_FEATS))}"
+                f":{int(rng.integers(1, 10**6)) / 10**6:.6f}"
+                for c in cs
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(online=online, n_epochs=2, device_cache="on")
+    t_raw = Trainer(_cfg(path, path, **kw, device_cache_compact="off"))
+    h_raw = t_raw.train()
+    t_c = Trainer(_cfg(path, path, **kw, device_cache_compact="on"))
+    cache = t_c._ensure_device_cache("train")
+    assert cache is not None and cache.compact
+    # the resident arrays really are the compact encodings
+    assert cache.ds[1].dtype == np.uint8  # feats lo-bytes + hi planes
+    assert cache.ds[2].dtype == np.uint8  # DEC6 vals
+    assert cache.ds[0].dtype == np.uint8  # packed fields
+    h_c = t_c.train()
+    np.testing.assert_allclose(
+        h_raw["train_loss"], h_c["train_loss"], rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        h_raw["eval_loss"], h_c["eval_loss"], rtol=1e-6
+    )
+    _state_equal(t_raw.state, t_c.state)
+
+
+def test_compact_cache_row_bytes_and_auto_gate(tmp_path):
+    """The compact-row estimate is conservative (>= what the build stores
+    per row) and auto never engages when raw fits (CPU always fits)."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    tr = Trainer(_cfg(str(train), device_cache="on"))
+    est = tr._compact_cache_row_bytes()
+    raw = 12 * tr.cfg.max_nnz + 4
+    assert est < raw  # compaction must actually save bytes
+    cache = tr._ensure_device_cache("train")
+    assert cache is not None and not cache.compact  # auto: raw fits
+    rows = cache.ds[1].shape[0]
+    stored = sum(
+        a.nbytes // max(rows, 1) for a in cache.ds if a.shape[0]
+    )
+    assert stored <= raw
+
+
+def test_compact_cache_huge_ids_keep_wide_feats(tmp_path):
+    """n_feats >= 2^24: feats stay int32 in the compact cache (only
+    vals/fields compact), and training still matches."""
+    rng = np.random.default_rng(23)
+    path = str(tmp_path / "t.ffm")
+    with open(path, "w") as f:
+        for i in range(48):
+            toks = [str(int(rng.random() > 0.5))] + [
+                f"{c}:{int(rng.integers(0, 17_000_000))}:1"
+                for c in range(4)
+            ]
+            f.write(" ".join(toks) + "\n")
+    kw = dict(
+        n_feats=17_000_000, n_fields=4, batch_size=16, n_epochs=1,
+        online=False, device_cache="on",
+    )
+    t_raw = Trainer(_cfg(path, **kw, device_cache_compact="off"))
+    h_raw = t_raw.train()
+    t_c = Trainer(_cfg(path, **kw, device_cache_compact="on"))
+    cache = t_c._ensure_device_cache("train")
+    assert cache.compact and cache.ds[1].dtype == np.int32
+    h_c = t_c.train()
+    np.testing.assert_allclose(
+        h_raw["train_loss"], h_c["train_loss"], rtol=1e-6
+    )
