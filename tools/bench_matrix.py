@@ -26,7 +26,7 @@ rows (default: ffm fm lr):
              cannot occur on file-driven runs — the libsvm/libffm formats
              carry no weight column, so sample_w is always {0, 1}.)
 Env: ROWS_SAMPLES (400000), ACC_DTYPE, TABLE_DTYPE, DEVICE_CACHE,
-FEED_WORKERS forwarded to Config.
+DEVICE_CACHE_COMPACT, FEED_WORKERS forwarded to Config.
 """
 
 from __future__ import annotations
@@ -165,6 +165,7 @@ def run_row(row: str) -> dict:
         # offline row: auto engages the device-resident dataset when it fits
         # next to the state; DEVICE_CACHE=off measures the streamed feed
         device_cache=os.environ.get("DEVICE_CACHE", "auto"),
+        device_cache_compact=os.environ.get("DEVICE_CACHE_COMPACT", "auto"),
         feed_workers=int(os.environ.get("FEED_WORKERS", "1")),
     )
     if kw["model_type"] == "FFM":
