@@ -105,6 +105,36 @@ class TrainOut(NamedTuple):
                             # (route mode only; None elsewhere)
 
 
+def dec6_decode(k: jax.Array) -> jax.Array:
+    """Correctly-rounded k/1e6 (k int < 2^24) from f32 mul/add only —
+    TPU's hardware division is reciprocal-based and lands 1 ulp off for
+    ~3.1% of ks (525,149 of 2^24, measured exhaustively on-chip), so a
+    plain divide cannot reproduce the host's strtof-equal division.  This
+    sequence can: q0 = k·r, then one correction with the EXACT residual
+    k − q0·1e6 obtained via a Veltkamp two-product (no FMA needed).
+    Verified exhaustively on the dev v5e: 0 mismatches over all 2^24 ks
+    (BASELINE.md round 5); Trainer._dec6_device_ok re-verifies a sample
+    per process before the tier may engage.  Barriers keep XLA from
+    folding the constants back into the 1-ulp reciprocal form."""
+    kf = k.astype(jnp.float32)
+    d = jax.lax.optimization_barrier(jnp.float32(1e6))
+    r = jax.lax.optimization_barrier(jnp.float32(1e-6))
+    q0 = kf * r
+    c = jnp.float32((1 << 12) + 1)
+
+    def split(x):
+        t = c * x
+        hi = t - (t - x)
+        return hi, x - hi
+
+    qh, ql = split(q0)
+    dh, dl = split(d)
+    p = q0 * d
+    e = (((qh * dh - p) + qh * dl) + ql * dh) + ql * dl  # q0·d == p + e
+    res = (kf - p) - e
+    return q0 + res * r
+
+
 def widen_batch(b: Batch) -> Batch:
     """Cast a (possibly transfer-compacted) batch to canonical dtypes.
 
@@ -143,23 +173,13 @@ def widen_batch(b: Batch) -> Batch:
         vals = jnp.ones(feats.shape, jnp.float32)
     elif b.vals.dtype == jnp.uint8:
         # DEC6 tier: vals are 6-decimal fixed-point k·10⁻⁶ shipped as
-        # 3 little-endian bytes per value ([..., 3F] uint8).  Reconstruct
-        # by DIVISION with the exact f32 constant 1e6: correctly-rounded
-        # f32 division of exact integers reproduces strtof("%.6f") bit-
-        # exactly (multiplying by the inexact f32 1e-6 does NOT — ~3% of
-        # values land 1 ulp off).  The host verified v == f32(k)/f32(1e6)
-        # per batch AND that this device's division matches the host's
-        # bit-for-bit (Trainer._dec6_device_ok), so training numerics are
-        # unchanged.
+        # 3 little-endian bytes per value ([..., 3F] uint8).  The host
+        # verified v == f32(k)/f32(1e6) (correctly-rounded division
+        # reproduces strtof("%.6f") bit-exactly) and dec6_decode computes
+        # exactly that on any device, so training numerics are unchanged.
         u = b.vals.astype(jnp.int32)
         k = u[..., 0::3] + (u[..., 1::3] << 8) + (u[..., 2::3] << 16)
-        # optimization_barrier keeps the divisor opaque: XLA folds
-        # division by a LITERAL constant into multiply-by-reciprocal,
-        # which is 1 ulp off for ~3% of ks (measured); a true division
-        # instruction is correctly rounded (and verified against the
-        # host per process — Trainer._dec6_device_ok)
-        den = jax.lax.optimization_barrier(jnp.float32(1e6))
-        vals = k.astype(jnp.float32) / den
+        vals = dec6_decode(k)
     else:
         vals = b.vals.astype(jnp.float32)
     # bit-packed fields: [..., w, ceil(F/8)] uint8 bitplanes (plane i =

@@ -1138,14 +1138,14 @@ class Trainer:
         return _pack_bitplanes(fields.astype(np.uint8), w)
 
     def _dec6_device_ok(self) -> bool:
-        """One-time per-process probe: does THIS device's f32 division by
-        the exact constant 1e6 match the host's correctly-rounded division
-        bit-for-bit?  IEEE-correct f32 division is what makes the DEC6
-        reconstruction equal strtof; a device where division is only
-        1-ulp-accurate (reciprocal approximations) must not take the tier
-        — fail-safe to f32 uploads.  Probes 64k random + boundary ks (an
-        exhaustive 2^24 sweep on the dev chip is recorded in BASELINE.md);
-        ~one dispatch + readback, amortized over the run."""
+        """One-time per-process probe: does dec6_decode's corrected
+        mul/add sequence on THIS device reproduce the host's correctly-
+        rounded division bit-for-bit?  (It does exhaustively over all
+        2^24 ks on the dev v5e and on XLA CPU — BASELINE.md round 5; a
+        plain TPU divide does NOT, reciprocal-based, 3.1% off by 1 ulp.)
+        Any device where it would not must not take the tier — fail-safe
+        to f32 uploads.  Probes 64k random + boundary ks; ~one dispatch +
+        readback, amortized over the run."""
         ok = getattr(self, "_dec6_dev_checked", None)
         if ok is None:
             try:
@@ -1156,16 +1156,10 @@ class Trainer:
                         [0, 1, 999_999, 10**6, (1 << 24) - 1],
                     ]
                 ).astype(np.int32)
+                from ftrl_ffm_tpu.models.base import dec6_decode
+
                 host = k.astype(np.float32) / np.float32(1e6)
-                dev = np.asarray(
-                    jax.jit(
-                        # the same barrier-guarded division widen_batch
-                        # compiles (a literal divisor would be folded to
-                        # a 1-ulp-off reciprocal multiply)
-                        lambda x: x.astype(jnp.float32)
-                        / jax.lax.optimization_barrier(jnp.float32(1e6))
-                    )(jnp.asarray(k))
-                )
+                dev = np.asarray(jax.jit(dec6_decode)(jnp.asarray(k)))
                 ok = bool(np.array_equal(host, dev))
             except Exception:
                 ok = False
@@ -1945,10 +1939,11 @@ class Trainer:
                 )
             feats = out
         if vals.dtype == jnp.uint8:
+            from ftrl_ffm_tpu.models.base import dec6_decode
+
             u = vals.astype(jnp.int32)
             kv = u[..., 0::3] + (u[..., 1::3] << 8) + (u[..., 2::3] << 16)
-            den = jax.lax.optimization_barrier(jnp.float32(1e6))
-            vals = kv.astype(jnp.float32) / den
+            vals = dec6_decode(kv)
         if fields.dtype == jnp.uint8 and fields.ndim == feats.ndim:
             w = fields.shape[-1] // pb
             planes = fields.astype(jnp.int32).reshape(
