@@ -120,6 +120,24 @@ def test_online_train_cached_matches_streamed(tmp_path):
     _state_equal(t_on.state, t_off.state)
 
 
+def test_online_cached_unrolled_matches_single_step(tmp_path, monkeypatch):
+    """FTRL_IOTA_UNROLL=U groups U file-order replay steps into one
+    dispatch (straight-line unroll, not scan — see _gather_train_unroll).
+    B=8 on the 64-line fixture gives 8 steps/epoch; U=3 exercises 2 full
+    unrolled groups + a 2-step single-dispatch tail.  Per-epoch losses and
+    final state must match the default single-step replay ulp-exactly."""
+    train = write_fixture(tmp_path / "t.ffm", "libffm", seed=0)
+    monkeypatch.setenv("FTRL_IOTA_UNROLL", "3")
+    t_u = Trainer(_cfg(train, online=True, device_cache="on", batch_size=8))
+    h_u = t_u.train()
+    monkeypatch.delenv("FTRL_IOTA_UNROLL")
+    t_1 = Trainer(_cfg(train, online=True, device_cache="on", batch_size=8))
+    h_1 = t_1.train()
+    assert t_u._dev_cache.get("train") is not None
+    np.testing.assert_allclose(h_u["train_loss"], h_1["train_loss"], rtol=1e-6)
+    _state_equal(t_u.state, t_1.state)
+
+
 def test_online_train_cache_engages_automatically(tmp_path):
     """auto engages for file-backed online train on the CPU test backend;
     multi-epoch train losses keep decreasing (file-order replay, no
