@@ -37,7 +37,9 @@ N_FACTORS = 16
 # B=16384 is +8.5% device-bound over 8192 (BASELINE.md batch-size note) and,
 # since the zero-width upload markers halved feeder bytes (round 3), it now
 # wins end-to-end too (244.1k vs 234.7k ex/s, best-of-3 A/B same session).
-BATCH = 16384
+# B=32768 was A/B'd on the cached-replay path and LOST (see BASELINE.md
+# round-5 batch-size note); the env override exists for re-measurement.
+BATCH = int(os.environ.get("FTRL_BENCH_BATCH", "16384"))
 DATA_PATH = "/tmp/ftrl_ffm_tpu_bench_data_400k.txt"
 
 
